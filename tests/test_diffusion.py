@@ -1,0 +1,69 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unirestore_tpu.diffusion import (
+    DiffusionSchedule,
+    ddim_step,
+    ddim_timesteps,
+    make_schedule,
+    predict_x0_from_eps,
+)
+from unirestore_tpu.diffusion.schedules import add_noise
+
+
+def test_trailing_timesteps_match_reference_buffer():
+    # reference train-noise buffer [249, 499, 749, 999] = 4-step trailing DDIM
+    np.testing.assert_array_equal(ddim_timesteps(4), [999, 749, 499, 249])
+    np.testing.assert_array_equal(ddim_timesteps(1), [999])
+    ts20 = ddim_timesteps(20)
+    assert ts20[0] == 999 and ts20[-1] == 49 and len(ts20) == 20
+
+
+def test_schedule_values():
+    s = make_schedule()
+    assert s.alphas_cumprod.shape == (1000,)
+    # scaled_linear betas: acp[0] = 1 - 0.00085
+    np.testing.assert_allclose(float(s.alphas_cumprod[0]), 1 - 0.00085, rtol=1e-6)
+    assert float(s.alphas_cumprod[999]) < 5e-3  # heavily noised at t=999
+    # set_alpha_to_one=False -> final is acp[0]
+    np.testing.assert_allclose(float(s.final_alpha_cumprod),
+                               float(s.alphas_cumprod[0]))
+
+
+def test_add_noise_and_x0_roundtrip():
+    s = make_schedule()
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (2, 8, 8, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.array([249, 999])
+    zt = add_noise(s, x0, noise, t)
+    x0_rec = predict_x0_from_eps(s, zt, noise, t)
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-4)
+
+
+def test_ddim_single_step_with_perfect_eps_recovers_x0():
+    # 1-step DDIM from t=999 with the true eps: prev_t < 0 -> a_prev = acp[0]
+    s = make_schedule()
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.array([999])
+    zt = add_noise(s, x0, noise, t)
+    z_prev = ddim_step(s, zt, noise, jnp.int32(999), num_inference_steps=1)
+    # z_prev = sqrt(acp0) x0 + sqrt(1-acp0) eps; acp0 ~ 0.99915
+    expect = (jnp.sqrt(s.alphas_cumprod[0]) * x0
+              + jnp.sqrt(1 - s.alphas_cumprod[0]) * noise)
+    np.testing.assert_allclose(np.asarray(z_prev), np.asarray(expect), atol=1e-4)
+
+
+def test_ddim_chain_is_scan_compatible():
+    s = make_schedule()
+    ts = jnp.asarray(ddim_timesteps(4))
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+
+    def body(z, t):
+        eps = z * 0.1  # stand-in "model"
+        return ddim_step(s, z, eps, t, num_inference_steps=4), None
+
+    out, _ = jax.lax.scan(body, z, ts)
+    assert out.shape == z.shape and np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,119 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unirestore_tpu.nn import attention as A
+from unirestore_tpu.nn import embeddings as E
+from unirestore_tpu.nn import layers as L
+from unirestore_tpu.nn import resnet as R
+from unirestore_tpu.nn import transformer as T
+
+
+def test_conv2d_matches_torch():
+    torch = pytest.importorskip("torch")
+    key = jax.random.PRNGKey(0)
+    p = L.conv2d_init(key, 8, 16, 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 12, 8))
+    y = L.conv2d(p, x, padding=1)
+
+    tw = torch.tensor(np.asarray(p["w"]).transpose(3, 2, 0, 1))  # HWIO->OIHW
+    tb = torch.tensor(np.asarray(p["b"]))
+    tx = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))
+    ty = torch.nn.functional.conv2d(tx, tw, tb, padding=1)
+    np.testing.assert_allclose(np.asarray(y), ty.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)
+
+
+def test_group_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+    p = L.norm_init(32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 6, 32)) * 3 + 1
+    y = L.group_norm(p, x, groups=8, eps=1e-6)
+    tx = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))
+    ty = torch.nn.functional.group_norm(tx, 8, torch.ones(32), torch.zeros(32),
+                                        eps=1e-6)
+    np.testing.assert_allclose(np.asarray(y), ty.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)
+
+
+def test_gelu_exact_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = jnp.linspace(-4, 4, 101)
+    y = L.gelu(x)
+    ty = torch.nn.functional.gelu(torch.tensor(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(y), ty.numpy(), atol=1e-6)
+
+
+def test_instance_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 7, 5, 12)) * 2 + 3
+    y = L.instance_norm(x)
+    tx = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))
+    ty = torch.nn.functional.instance_norm(tx)
+    np.testing.assert_allclose(np.asarray(y), ty.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)
+
+
+def test_pixel_shuffle_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 4, 16))
+    y = L.pixel_shuffle(x, 2)
+    tx = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))
+    ty = torch.nn.functional.pixel_shuffle(tx, 2)
+    np.testing.assert_allclose(np.asarray(y), ty.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-6)
+
+
+def test_simple_gate():
+    x = jnp.arange(8.0).reshape(1, 1, 1, 8)
+    y = L.simple_gate(x)
+    np.testing.assert_allclose(np.asarray(y)[0, 0, 0], [0, 5, 12, 21])
+
+
+def test_sinusoidal_embedding_shape_and_values():
+    t = jnp.array([0, 999])
+    emb = E.sinusoidal_timestep_embedding(t, 320)
+    assert emb.shape == (2, 320)
+    # t=0: cos part = 1, sin part = 0 (flip_sin_to_cos=True -> cos first)
+    np.testing.assert_allclose(np.asarray(emb[0, :160]), np.ones(160), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 160:]), np.zeros(160), atol=1e-6)
+
+
+def test_resnet_block_shapes():
+    key = jax.random.PRNGKey(0)
+    p = R.resnet_block_init(key, 32, 64, temb_dim=128)
+    x = jnp.ones((2, 8, 8, 32))
+    temb = jnp.ones((2, 128))
+    y = R.resnet_block(p, x, temb)
+    assert y.shape == (2, 8, 8, 64)
+
+
+def test_down_up_sample_shapes():
+    key = jax.random.PRNGKey(0)
+    pd = R.downsample_init(key, 16)
+    pu = R.upsample_init(key, 16)
+    x = jnp.ones((1, 8, 8, 16))
+    assert R.downsample(pd, x).shape == (1, 4, 4, 16)
+    assert R.downsample(pd, x, pad_mode="asym").shape == (1, 4, 4, 16)
+    assert R.upsample(pu, x).shape == (1, 16, 16, 16)
+
+
+def test_spatial_attention_residual_at_zero_out():
+    key = jax.random.PRNGKey(0)
+    p = A.spatial_self_attention_init(key, 64, heads=1)
+    # zero the out-projection -> block must be the identity (residual path)
+    p["attn"]["to_out"]["w"] = jnp.zeros_like(p["attn"]["to_out"]["w"])
+    p["attn"]["to_out"]["b"] = jnp.zeros_like(p["attn"]["to_out"]["b"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 64))
+    y = A.spatial_self_attention(p, x, heads=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_transformer_2d_shapes():
+    key = jax.random.PRNGKey(0)
+    p = T.transformer_2d_init(key, 64, heads=4, context_dim=96)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 64))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 96))
+    y = T.transformer_2d(p, x, ctx, heads=4)
+    assert y.shape == x.shape

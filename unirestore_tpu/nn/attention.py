@@ -1,0 +1,70 @@
+"""Attention primitives for the SD VAE/UNet/Controller ports (NHWC).
+
+Two flavors are needed for parity with the reference's diffusers backbone:
+
+1. ``spatial_self_attention`` — the "deprecated attn block" style used by the
+   VAE mid-block, Controller AttnDownBlock2D / UNetMidBlock2D: GroupNorm on
+   the NHWC map, qkv linears WITH bias, residual connection.
+2. ``mha`` — transformer attention used inside Transformer2DModel blocks:
+   qkv linears WITHOUT bias, out-proj with bias, optional cross-attention.
+
+Compute: sequences are small (<= 4096 tokens at 512px) so we rely on
+``jax.nn.dot_product_attention`` which lowers to fused attention on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+
+
+def mha_init(key, query_dim: int, heads: int, dim_head: int,
+             context_dim: int | None = None, qkv_bias: bool = False,
+             dtype=jnp.float32):
+    inner = heads * dim_head
+    ctx = context_dim if context_dim is not None else query_dim
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "to_q": L.linear_init(kq, query_dim, inner, bias=qkv_bias, dtype=dtype),
+        "to_k": L.linear_init(kk, ctx, inner, bias=qkv_bias, dtype=dtype),
+        "to_v": L.linear_init(kv, ctx, inner, bias=qkv_bias, dtype=dtype),
+        "to_out": L.linear_init(ko, inner, query_dim, bias=True, dtype=dtype),
+    }
+
+
+def mha(p, x, context=None, heads: int = 8):
+    """Multi-head attention over (B, T, C) with optional (B, S, Cctx) context."""
+    ctx = x if context is None else context
+    q = L.linear(p["to_q"], x)
+    k = L.linear(p["to_k"], ctx)
+    v = L.linear(p["to_v"], ctx)
+    b, t, inner = q.shape
+    s = k.shape[1]
+    dim_head = inner // heads
+    q = q.reshape(b, t, heads, dim_head)
+    k = k.reshape(b, s, heads, dim_head)
+    v = v.reshape(b, s, heads, dim_head)
+    o = jax.nn.dot_product_attention(q, k, v)
+    o = o.reshape(b, t, inner)
+    return L.linear(p["to_out"], o)
+
+
+def spatial_self_attention_init(key, channels: int, heads: int, dtype=jnp.float32):
+    kn, ka = jax.random.split(key)
+    return {
+        "group_norm": L.norm_init(channels, dtype),
+        "attn": mha_init(ka, channels, heads, channels // heads, qkv_bias=True,
+                         dtype=dtype),
+    }
+
+
+def spatial_self_attention(p, x, heads: int, groups: int = 32, eps: float = 1e-6):
+    """VAE/Controller-style residual spatial self-attention on an NHWC map."""
+    b, h, w, c = x.shape
+    residual = x
+    y = L.group_norm(p["group_norm"], x, groups=groups, eps=eps)
+    y = y.reshape(b, h * w, c)
+    y = mha(p["attn"], y, heads=heads)
+    return residual + y.reshape(b, h, w, c)
