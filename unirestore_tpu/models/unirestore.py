@@ -1,0 +1,226 @@
+"""UniRestore composite model: diffusion-prior restoration, TPU-native.
+
+Equivalent of the reference ``DiffUIE`` (unifie.py:22-169): a frozen SD VAE +
+UNet with four trainable adapter families (CFRM, Controller, SC-Tuner, TFA).
+
+Design differences from the torch reference (intentional, TPU-first):
+- Parameters live in two explicit pytrees: ``frozen`` (vae, unet, null text
+  embedding) and ``trainable`` (cfrm, controller, control adapters, tfa).
+  Freezing is structural — gradients are only ever taken w.r.t. the
+  trainable tree — replacing requires_grad_ bookkeeping
+  (engine_unifie.py:46-133).
+- The DDIM denoise loop is a ``lax.scan`` over a static timestep table
+  (unifie.py:146-150 is a Python loop over scheduler.timesteps).
+- ``enable_fr`` / ``task`` / step counts are trace-time constants; the finite
+  task set gives one cached jit per (shape, task).
+- NHWC layouts, bf16-friendly compute, fp32 scheduler math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion import schedules as D
+from ..ops import resize as RS
+from . import controller as CTRL
+from . import unet as UN
+from . import vae as VAE
+
+# fixed train-time noising timestep buffer (unifie.py:65-68)
+TRAIN_TIMESTEPS = (249, 499, 749, 999, 999, 999)
+
+
+@dataclasses.dataclass(frozen=True)
+class UniRestoreConfig:
+    vae: VAE.VAEConfig = dataclasses.field(default_factory=VAE.VAEConfig)
+    unet: UN.UNetConfig = dataclasses.field(default_factory=UN.UNetConfig)
+    controller: CTRL.ControllerConfig = dataclasses.field(
+        default_factory=CTRL.ControllerConfig)
+    # adapter switches (mirror frenc/cnet/tedit, unifie.py:24-36)
+    use_cfrm: bool = True
+    control_type: str = "scedit"  # "scedit" | "spade" | "none" (no cnet)
+    tasks: tuple = ("ir",)
+    prompt_len: int = 1
+    use_tfa: bool = False
+    num_inference_steps: int = 1
+    # preprocessing (unifie.py:124-134)
+    min_size: int = 512
+    pad_multiple: int = 64
+    text_seq_len: int = 77
+
+    @property
+    def use_cnet(self):
+        return self.control_type in ("scedit", "spade")
+
+
+def tiny_config(use_tfa: bool = True, control_type: str = "scedit",
+                tasks=("ir", "cls", "seg")):
+    return UniRestoreConfig(
+        vae=VAE.tiny_vae_config(),
+        unet=UN.tiny_unet_config(control_type),
+        controller=CTRL.tiny_controller_config(),
+        tasks=tasks, use_tfa=use_tfa, control_type=control_type,
+        min_size=64, pad_multiple=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init(key, cfg: UniRestoreConfig, dtype=jnp.float32):
+    """Returns (frozen, trainable) parameter pytrees."""
+    k_vae, k_unet, k_cfrm, k_ctrl, k_csc, k_tfa = jax.random.split(key, 6)
+    frozen = {
+        "vae": VAE.vae_init(k_vae, cfg.vae, dtype),
+        # null-prompt CLIP embedding placeholder; replaced by the converted
+        # sd_null_emb asset when available (base_model.py:24-27)
+        "null_emb": jnp.zeros((1, cfg.text_seq_len,
+                               cfg.unet.cross_attention_dim), dtype),
+    }
+    trainable = {}
+    if cfg.use_cnet:
+        frozen["unet"] = UN.unet_init(k_unet, cfg.unet, dtype)
+        trainable["controller"] = CTRL.controller_init(k_ctrl, cfg.controller,
+                                                       dtype)
+        trainable["control"] = UN.control_adapters_init(k_csc, cfg.unet, dtype)
+    if cfg.use_cfrm:
+        trainable["cfrm"] = VAE.cfrm_adapter_init(k_cfrm, cfg.vae, dtype)
+    if cfg.use_tfa:
+        trainable["tfa"] = VAE.tfa_adapter_init(k_tfa, cfg.vae, cfg.tasks,
+                                                cfg.prompt_len, dtype)
+    return frozen, trainable
+
+
+def schedule(cfg: UniRestoreConfig) -> D.DiffusionSchedule:
+    return D.make_schedule()
+
+
+# ---------------------------------------------------------------------------
+# core pieces (pure functions; all static switches are Python values)
+# ---------------------------------------------------------------------------
+
+
+def encode(frozen, trainable, cfg, images, rng=None, enable_fr=True,
+           sample=True):
+    """VAE encode with optional CFRM; images in [0,1] NHWC.
+
+    Returns (latents, skips)."""
+    fr = trainable.get("cfrm") if (enable_fr and cfg.use_cfrm) else None
+    return VAE.encode(frozen["vae"], images, cfg.vae, rng=rng, fr_params=fr,
+                      enable_fr=fr is not None, sample=sample)
+
+
+def decode(frozen, trainable, cfg, latents, skips=None, task=None):
+    """VAE decode with optional TFA task routing (static ``task`` string)."""
+    tfa = trainable.get("tfa") if cfg.use_tfa else None
+    return VAE.decode(frozen["vae"], latents, cfg.vae, skips=skips,
+                      tfa_params=tfa, task=task if tfa is not None else None,
+                      prompt_len=cfg.prompt_len)
+
+
+def diffuse(sched, latents, rng, timesteps=None):
+    """DDPM-noise latents at random buffer timesteps (unifie.py:77-89).
+
+    Returns (noised, noise, timesteps)."""
+    k_t, k_n = jax.random.split(rng)
+    if timesteps is None:
+        buf = jnp.asarray(TRAIN_TIMESTEPS, jnp.int32)
+        idx = jax.random.randint(k_t, (latents.shape[0],), 0, len(buf))
+        timesteps = buf[idx]
+    noise = jax.random.normal(k_n, latents.shape, latents.dtype)
+    return D.add_noise(sched, latents, noise, timesteps), noise, timesteps
+
+
+def predict_eps(frozen, trainable, cfg, zt, conditions, timesteps):
+    """Controller -> controlled UNet -> predicted noise."""
+    control = CTRL.controller_apply(trainable["controller"], cfg.controller,
+                                    conditions, timesteps)
+    null = jnp.broadcast_to(frozen["null_emb"],
+                            (zt.shape[0],) + frozen["null_emb"].shape[1:])
+    return UN.unet_apply(frozen["unet"], cfg.unet, zt, timesteps,
+                         null.astype(zt.dtype), control=control,
+                         control_params=trainable.get("control"))
+
+
+def predict_z0(frozen, trainable, cfg, sched, zt, conditions, timesteps):
+    """One-shot x0 prediction under Controller guidance (unifie.py:91-105)."""
+    eps = predict_eps(frozen, trainable, cfg, zt, conditions, timesteps)
+    return D.predict_x0_from_eps(sched, zt, eps, timesteps)
+
+
+def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
+                 num_inference_steps=None):
+    """DDIM loop with per-step Controller control, as a lax.scan
+    (unifie.py:146-150)."""
+    n = num_inference_steps or cfg.num_inference_steps
+    ts = jnp.asarray(D.ddim_timesteps(n))
+    bsz = zt.shape[0]
+
+    def body(z, t):
+        tb = jnp.full((bsz,), t, jnp.int32)
+        eps = predict_eps(frozen, trainable, cfg, z, z0_lq, tb)
+        return D.ddim_step(sched, z, eps, t, n), None
+
+    z, _ = jax.lax.scan(body, zt, ts)
+    return z
+
+
+def restore_padded(frozen, trainable, cfg, sched, images, task, rng,
+                   num_inference_steps=None):
+    """Restore images whose H/W are already multiples of pad_multiple.
+
+    The jittable core of ``DiffUIE.forward`` (unifie.py:136-155):
+    encode (CFRM on) -> noise to t=999 -> DDIM loop -> decode (TFA task).
+    """
+    k_enc, k_diff = jax.random.split(rng)
+    z0, skips = encode(frozen, trainable, cfg, images, rng=k_enc,
+                       enable_fr=True)
+    if cfg.use_cnet:
+        t999 = jnp.full((images.shape[0],), 999, jnp.int32)
+        zt, _, _ = diffuse(sched, z0, k_diff, timesteps=t999)
+        zt = ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                          num_inference_steps)
+    else:
+        zt = z0
+    return decode(frozen, trainable, cfg, zt, skips, task)
+
+
+def preprocess_shape(h: int, w: int, cfg: UniRestoreConfig):
+    """Static shape plan for restore(): upscale short side to >= min_size,
+    then pad to a multiple of pad_multiple (unifie.py:124-134)."""
+    if h < cfg.min_size or w < cfg.min_size:
+        s = cfg.min_size / min(h, w)
+        # round() in the reference is Python banker's rounding
+        h, w = round(h * s), round(w * s)
+    m = cfg.pad_multiple
+    pad_h = (m - h % m) % m
+    pad_w = (m - w % m) % m
+    return h, w, pad_h, pad_w
+
+
+def restore(frozen, trainable, cfg, sched, images, task, rng,
+            num_inference_steps=None):
+    """Full restore pipeline with pre/post resizing (unifie.py:107-169).
+
+    Shape-dependent steps happen at trace time (static per input shape).
+    """
+    org_h, org_w = images.shape[1:3]
+    h, w, pad_h, pad_w = preprocess_shape(org_h, org_w, cfg)
+    x = images
+    if (h, w) != (org_h, org_w):
+        x = RS.resize_bicubic(x, (h, w))
+    x = RS.reflect_pad_hw(x, pad_h, pad_w)
+
+    preds = restore_padded(frozen, trainable, cfg, sched, x, task, rng,
+                           num_inference_steps)
+
+    preds = preds[:, :h, :w]
+    if (h, w) != (org_h, org_w):
+        preds = RS.resize_bicubic(preds, (org_h, org_w))
+    return preds
