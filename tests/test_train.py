@@ -1,0 +1,175 @@
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unirestore_tpu.models import unirestore as UR
+from unirestore_tpu.parallel import make_mesh, replicate, shard_batch
+from unirestore_tpu.train import checkpoints as CKPT
+from unirestore_tpu.train import optim as OPT
+from unirestore_tpu.train import steps as ST
+
+
+def _tiny_setup(stage=None, tasks=("ir",), use_tfa=False, multi_task=False):
+    cfg = UR.tiny_config(use_tfa=use_tfa, tasks=tasks)
+    frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)
+    sched = UR.schedule(cfg)
+    stage = stage or ST.StageConfig(train_cfrm=True, train_cnet=True,
+                                    train_tfa=use_tfa,
+                                    multi_task=multi_task)
+    return cfg, frozen, trainable, sched, stage
+
+
+def _batch(key, b=2, hw=64):
+    k1, k2 = jax.random.split(key)
+    return {"lq": jax.random.uniform(k1, (b, hw, hw, 3)),
+            "hq": jax.random.uniform(k2, (b, hw, hw, 3))}
+
+
+def test_sqrt_lr_scaling():
+    # stage-1 numbers: base_lr 1e-4 @ base 64; 8 devs x bs 3 x accum 2 = 48
+    lr = OPT.effective_lr(1e-4, 64, 3, 2, 8)
+    np.testing.assert_allclose(lr, 1e-4 * (48 / 64) ** 0.5, rtol=1e-9)
+
+
+def test_stage1_step_updates_only_stage1_params():
+    cfg, frozen, trainable, sched, stage = _tiny_setup(use_tfa=True)
+    stage = ST.StageConfig(train_cfrm=True, train_cnet=True, train_tfa=False)
+    tx = OPT.make_optimizer(lr=1e-3)
+    opt_state = tx.init(trainable)
+    step = ST.make_train_step(frozen, cfg, sched, stage, tx, "ir",
+                              donate=False)
+    batch = _batch(jax.random.PRNGKey(1))
+    new_tr, _, logs = step(trainable, opt_state, batch, jax.random.PRNGKey(2))
+
+    def changed(a, b):
+        return any(not np.allclose(x, y) for x, y in
+                   zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    assert changed(trainable["cfrm"], new_tr["cfrm"])
+    assert changed(trainable["controller"], new_tr["controller"])
+    assert changed(trainable["control"], new_tr["control"])
+    assert not changed(trainable["tfa"], new_tr["tfa"])  # frozen in stage 1
+    assert float(logs["train/loss"]) > 0
+
+
+def test_stage2_trains_tfa_only():
+    cfg, frozen, trainable, sched, _ = _tiny_setup(
+        use_tfa=True, tasks=("ir", "cls", "seg"), multi_task=True)
+    stage = ST.StageConfig(train_cfrm=False, train_cnet=False, train_tfa=True,
+                           multi_task=True)
+    tx = OPT.make_optimizer(lr=1e-3)
+    opt_state = tx.init(trainable)
+    step = ST.make_train_step(frozen, cfg, sched, stage, tx, "ir",
+                              donate=False)
+    batch = _batch(jax.random.PRNGKey(1))
+    new_tr, _, logs = step(trainable, opt_state, batch, jax.random.PRNGKey(2))
+
+    def changed(a, b):
+        return any(not np.allclose(x, y) for x, y in
+                   zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    assert not changed(trainable["cfrm"], new_tr["cfrm"])
+    assert not changed(trainable["controller"], new_tr["controller"])
+    assert changed(new_tr["tfa"], trainable["tfa"])
+    # ir prompt got gradient; other prompts move only via the shared editors
+    assert not np.allclose(np.asarray(new_tr["tfa"]["task_prompts"]["ir"]),
+                           np.asarray(trainable["tfa"]["task_prompts"]["ir"]))
+
+
+def test_stage3_prompts_only():
+    cfg, frozen, trainable, sched, _ = _tiny_setup(use_tfa=True,
+                                                   tasks=("ir", "det"))
+    stage = ST.StageConfig(train_cfrm=False, train_cnet=False, train_tfa=True,
+                           tfa_prompts_only=True)
+    tx = OPT.make_optimizer(lr=1e-3)
+    opt_state = tx.init(trainable)
+    step = ST.make_train_step(frozen, cfg, sched, stage, tx, "det",
+                              donate=False)
+    batch = _batch(jax.random.PRNGKey(1))
+    new_tr, _, _ = step(trainable, opt_state, batch, jax.random.PRNGKey(2))
+
+    eds_same = all(np.allclose(x, y) for x, y in zip(
+        jax.tree.leaves(trainable["tfa"]["task_editors"]),
+        jax.tree.leaves(new_tr["tfa"]["task_editors"])))
+    assert eds_same
+    assert not np.allclose(np.asarray(new_tr["tfa"]["task_prompts"]["det"]),
+                           np.asarray(trainable["tfa"]["task_prompts"]["det"]))
+
+
+def test_data_parallel_step_on_8_device_mesh():
+    """DP semantics: batch sharded over the mesh, params replicated, grads
+    all-reduced by XLA. Must match the single-device step numerically."""
+    cfg, frozen, trainable, sched, stage = _tiny_setup()
+    # SGD: update is linear in the grad, so single-device vs all-reduced
+    # grads must agree to float tolerance (adam would amplify reduction-order
+    # noise of near-zero grads to lr scale)
+    tx = OPT.make_optimizer(opt="sgd", lr=1e-3)
+    opt_state = tx.init(trainable)
+    batch = _batch(jax.random.PRNGKey(1), b=8)
+    rng = jax.random.PRNGKey(2)
+
+    step = ST.make_train_step(frozen, cfg, sched, stage, tx, "ir",
+                              donate=False)
+    tr_single, _, logs_single = step(trainable, opt_state, batch, rng)
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    frozen_r = replicate(mesh, frozen)
+    trainable_r = replicate(mesh, trainable)
+    opt_r = replicate(mesh, tx.init(trainable_r))
+    batch_r = shard_batch(mesh, batch)
+    step_r = ST.make_train_step(frozen_r, cfg, sched, stage, tx, "ir",
+                                donate=False)
+    tr_dp, _, logs_dp = step_r(trainable_r, opt_r, batch_r, rng)
+
+    np.testing.assert_allclose(float(logs_dp["train/loss"]),
+                               float(logs_single["train/loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(tr_single), jax.tree.leaves(tr_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_checkpoint_roundtrip_and_surgery():
+    cfg, frozen, trainable, sched, _ = _tiny_setup(use_tfa=True,
+                                                   tasks=("ir", "cls"))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        CKPT.save_checkpoint(path, trainable, step=123, metadata={"stage": 1})
+        restored, meta = CKPT.load_trainable(path, jax.tree.map(
+            jnp.zeros_like, trainable))
+        assert meta["step"] == 123
+        for a, b in zip(jax.tree.leaves(trainable), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # stage surgery: fresh tree, restore only cfrm
+        fresh = jax.tree.map(jnp.zeros_like, trainable)
+        merged = CKPT.load_subtree(path, fresh, keys={"cfrm"})
+        assert np.allclose(
+            np.asarray(jax.tree.leaves(merged["cfrm"])[0]),
+            np.asarray(jax.tree.leaves(trainable["cfrm"])[0]))
+        assert all(float(np.abs(x).sum()) == 0.0
+                   for x in jax.tree.leaves(merged["controller"]))
+
+
+def test_checkpoint_manager_top_k():
+    cfg, frozen, trainable, sched, _ = _tiny_setup()
+    with tempfile.TemporaryDirectory() as d:
+        mgr = CKPT.CheckpointManager(d, save_top_k=2, mode="max")
+        for step, val in [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0)]:
+            mgr.save(trainable, step, val)
+        files = sorted(os.listdir(d))
+        assert len(files) == 2
+        assert any("val=30.0000" in f for f in files)
+        assert any("val=20.0000" in f for f in files)
+        assert "val=30.0000" in mgr.best_path
+
+
+def test_onecycle_schedule_shape():
+    sched = OPT.make_lr_schedule("onecycle", peak_lr=1e-3, total_steps=1000)
+    np.testing.assert_allclose(float(sched(100)), 1e-3, rtol=1e-5)  # peak @10%
+    np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-5)  # div 10
+    assert float(sched(50)) > float(sched(0))  # warmup rises
+    assert float(sched(999)) < 1e-6  # final anneal

@@ -1,0 +1,55 @@
+"""Device mesh + sharding utilities (TPU-native data parallelism).
+
+The reference's only distribution strategy is Lightning DDP over NCCL
+(configs/train_stage1.yaml:10-11, SURVEY §2.6). The TPU-native equivalent:
+a 1-D ``data`` mesh; batches sharded over it, parameters replicated; jit
+inserts the gradient all-reduce over ICI automatically. There is no
+"unused parameter" problem — grads are per-pytree-leaf.
+
+Multi-slice scaling works through the same API (the mesh spans slices; XLA
+routes collectives over ICI within a slice and DCN across).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
+    """Place host arrays as global device arrays sharded on the leading axis."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def unreplicate(tree):
+    """Fetch one copy of a replicated pytree to host."""
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh, axis_name: str = "data"):
+    n = mesh.shape[axis_name]
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{axis_name} axis size {n}")
+    return global_batch // n

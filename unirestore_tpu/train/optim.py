@@ -1,0 +1,89 @@
+"""Optimizer / LR-schedule factory (optax).
+
+Mirrors the reference's optimization surface (base.py:51-127):
+- AdamW with timm-style weight-decay masking (no decay on ndim<=1 params)
+- sqrt batch-size LR scaling: eff_lr = base_lr * (eff_bsz / base_bsz) ** 0.5
+  (base.py:110)
+- OneCycle cosine schedule (pct_start 0.1, div_factor 10, per-step) or StepLR
+  (base.py:62-80); gradient accumulation via optax.MultiSteps
+  (Lightning accumulate_grad_batches equivalent).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def effective_lr(base_lr: float, base_bsz: int, batch_size: int,
+                 accum_iter: int, num_devices: int) -> float:
+    eff_bsz = batch_size * accum_iter * num_devices
+    return base_lr * (eff_bsz / base_bsz) ** 0.5
+
+
+def make_lr_schedule(sched: str | None, peak_lr: float, total_steps: int,
+                     **kwargs):
+    if sched is None:
+        return peak_lr
+    if sched == "onecycle":
+        return optax.cosine_onecycle_schedule(
+            transition_steps=max(total_steps, 1), peak_value=peak_lr,
+            pct_start=kwargs.get("pct_start", 0.1),
+            div_factor=kwargs.get("div_factor", 10.0),
+            final_div_factor=kwargs.get("final_div_factor", 1e4))
+    if sched == "step":
+        return optax.exponential_decay(
+            init_value=peak_lr,
+            transition_steps=kwargs.get("step_size", 30),
+            decay_rate=kwargs.get("gamma", 0.1), staircase=True)
+    raise ValueError(f"Unknown scheduler: {sched}")
+
+
+def _wd_mask(params):
+    # timm create_optimizer_v2 convention: no weight decay on 1D params
+    # (norm scales/biases, conv biases, prompts are 2D and DO decay)
+    return jax.tree.map(lambda p: p.ndim >= 2, params)
+
+
+def make_optimizer(opt: str = "adamw", lr=1e-4, weight_decay: float = 1e-2,
+                   momentum: float = 0.9, accum_iter: int = 1,
+                   grad_clip: float | None = None):
+    """Returns an optax.GradientTransformation over the trainable tree."""
+    if opt == "adamw":
+        tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                         weight_decay=weight_decay, mask=_wd_mask)
+    elif opt == "adam":
+        tx = optax.adam(lr)
+    elif opt == "sgd":
+        tx = optax.sgd(lr, momentum=momentum)
+    else:
+        raise ValueError(f"Unknown optimizer: {opt}")
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(tx)
+    tx = optax.chain(*chain)
+    if accum_iter > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_iter)
+    return tx
+
+
+def build(optimizer_kwargs: dict, lr_scheduler_kwargs: dict | None,
+          total_steps: int, batch_size: int, accum_iter: int,
+          num_devices: int):
+    """Full factory from the reference's YAML kwargs surface
+    (train_stage1.yaml:61-67)."""
+    peak = effective_lr(optimizer_kwargs["base_lr"],
+                        optimizer_kwargs["base_bsz"], batch_size, accum_iter,
+                        num_devices)
+    sched_kwargs = dict(lr_scheduler_kwargs or {})
+    sched = sched_kwargs.pop("sched", None)
+    lr = make_lr_schedule(sched, peak, total_steps, **sched_kwargs)
+    return make_optimizer(
+        opt=optimizer_kwargs.get("opt", "adamw"), lr=lr,
+        weight_decay=optimizer_kwargs.get("weight_decay", 0.0),
+        momentum=optimizer_kwargs.get("momentum", 0.9),
+        accum_iter=accum_iter,
+        grad_clip=optimizer_kwargs.get("grad_clip"),
+    ), peak

@@ -1,0 +1,192 @@
+"""Staged training steps as pure jitted functions.
+
+Reproduces the reference's three-part training step
+(engine_unifie.py:135-225) with structural gradient discipline: gradients are
+taken only w.r.t. the ``trainable`` pytree, and the reference's
+``.detach()`` / ``set_grad_enabled`` windows become ``stop_gradient`` calls
+at the same cut points:
+
+- CFRM gradients flow only through the skip features (the VAE's latent-path
+  firewall, autoencoder.py:27).
+- The control loss MSE(pred_z0, h0) reaches Controller + SC-Tuner only
+  (the conditions l0 carry values, not grads, into the controller — matching
+  the no_grad encode at engine_unifie.py:137-147).
+- TFA sees a detached pred_z0 and detached skips (engine_unifie.py:185-191).
+
+Loss weights: 0.1/0.1/0.01 CFRM feature MSEs (engine_unifie.py:156); control
+MSE (:181); per-task TFA losses 10*L1 ir / 0.1*CE cls / 0.1*CE seg with the
+auxiliary IR L1 on non-ir MTL batches (:259-266, :220-223).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..models import unirestore as UR
+
+
+@dataclasses.dataclass(frozen=True)
+class StageConfig:
+    """Which adapter families train (frenc/cnet/tedit "train" flags)."""
+    train_cfrm: bool = True
+    train_cnet: bool = True
+    train_tfa: bool = False
+    # stage-3 new-task extension: only prompts train (engine_unifie.py:128-133)
+    tfa_prompts_only: bool = False
+    # MTL: auxiliary IR decode loss on non-ir batches (engine_unifie.py:220-223)
+    multi_task: bool = False
+    # loss weights
+    w_fr: tuple = (0.1, 0.1, 0.01)
+    w_te: dict = dataclasses.field(
+        default_factory=lambda: {"ir": 10.0, "cls": 0.1, "seg": 0.1,
+                                 "det": 1.0})
+
+
+def trainable_filter(stage: StageConfig, trainable):
+    """Mask of which top-level trainable subtrees receive optimizer updates.
+
+    Equivalent to the reference's requires_grad partition
+    (engine_unifie.py:62-133). Returns a pytree of bools shaped like
+    ``trainable`` (prefix-level)."""
+    def mask_for(name):
+        if name == "cfrm":
+            return stage.train_cfrm
+        if name in ("controller", "control"):
+            return stage.train_cnet
+        if name == "tfa":
+            return stage.train_tfa
+        return False
+
+    out = {}
+    for name, sub in trainable.items():
+        if name == "tfa" and stage.train_tfa and stage.tfa_prompts_only:
+            out[name] = {"task_editors": jax.tree.map(lambda _: False,
+                                                      sub["task_editors"]),
+                         "task_prompts": jax.tree.map(lambda _: True,
+                                                      sub["task_prompts"])}
+        else:
+            out[name] = jax.tree.map(lambda _, v=mask_for(name): v, sub)
+    return out
+
+
+def apply_grad_mask(grads, mask):
+    return jax.tree.map(lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
+
+
+def _sg(x):
+    return jax.lax.stop_gradient(x)
+
+
+def _mse(a, b):
+    return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+
+
+def compute_losses(frozen, trainable, cfg: UR.UniRestoreConfig, sched,
+                   stage: StageConfig, batch: dict, rng, task: str,
+                   te_loss_fn: Callable | None = None):
+    """Forward + all stage losses for one batch.
+
+    ``batch``: dict with "lq", "hq" (NHWC, [0,1]) and optionally "gt"
+    (task labels). ``task`` is static. ``te_loss_fn(preds, hq, gt, task)``
+    computes the downstream task loss (the engine variants'
+    ``te_loss_fn``, engine_unifie.py:259-336).
+
+    Returns (total_loss, logs_dict).
+    """
+    lq, hq = batch["lq"], batch["hq"]
+    k_hq, k_lq, k_diff = jax.random.split(rng, 3)
+    logs = {}
+
+    # --- fr forward (engine_unifie.py:135-148)
+    h0, h0_mids = UR.encode(frozen, trainable, cfg, hq, rng=k_hq,
+                            enable_fr=False)
+    h0, h0_mids = _sg(h0), [_sg(m) for m in h0_mids]
+    l0, l0_mids = UR.encode(frozen, trainable, cfg, lq, rng=k_lq,
+                            enable_fr=cfg.use_cfrm)
+    if not stage.train_cfrm:
+        l0_mids = [_sg(m) for m in l0_mids]
+    l0 = _sg(l0)  # latent path carries no grads (encoder frozen + firewall)
+
+    # --- cn forward (engine_unifie.py:169-177)
+    if cfg.use_cnet:
+        zt, _, timesteps = UR.diffuse(sched, h0, k_diff)
+        zt = _sg(zt)
+        pred_z0 = UR.predict_z0(frozen, trainable, cfg, sched, zt, l0,
+                                timesteps)
+        if not stage.train_cnet:
+            pred_z0 = _sg(pred_z0)
+    else:
+        pred_z0 = l0
+
+    loss = jnp.float32(0.0)
+
+    if stage.train_cfrm and cfg.use_cfrm:
+        fr_terms = [_mse(lm, hm) for lm, hm in zip(l0_mids, h0_mids)]
+        loss_fr = sum(w * t for w, t in zip(stage.w_fr, fr_terms))
+        loss = loss + loss_fr
+        logs.update({f"train/loss_layer{i + 1}": t
+                     for i, t in enumerate(fr_terms)})
+        logs["train/loss_frenc"] = loss_fr
+        logs["train/loss_enc"] = _mse(l0, h0)
+
+    if stage.train_cnet and cfg.use_cnet:
+        loss_cn = _mse(pred_z0, h0)
+        loss = loss + loss_cn
+        logs["train/loss_cnet"] = loss_cn
+
+    if cfg.use_tfa and stage.train_tfa:
+        te_mids = [_sg(m) for m in l0_mids] if stage.train_cfrm else l0_mids
+        preds = UR.decode(frozen, trainable, cfg, _sg(pred_z0), te_mids, task)
+        if te_loss_fn is not None:
+            loss_te = te_loss_fn(preds, hq, batch.get("gt"), task)
+        else:
+            loss_te = stage.w_te.get(task, 1.0) * jnp.mean(
+                jnp.abs(preds.astype(jnp.float32) - hq.astype(jnp.float32)))
+        if stage.multi_task and task != "ir":
+            preds_ir = UR.decode(frozen, trainable, cfg, _sg(pred_z0), te_mids,
+                                 "ir")
+            loss_te = loss_te + jnp.mean(
+                jnp.abs(preds_ir.astype(jnp.float32)
+                        - hq.astype(jnp.float32)))
+        loss = loss + loss_te
+        logs[f"train/loss_{task}"] = loss_te
+
+    logs["train/loss"] = loss
+    return loss, logs
+
+
+def make_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
+                    stage: StageConfig, tx, task: str,
+                    te_loss_fn: Callable | None = None,
+                    donate: bool = True):
+    """Builds the jitted train step for a static (stage, task) pair.
+
+    step(trainable, opt_state, batch, rng) -> (trainable, opt_state, logs)
+
+    Under a data mesh, batch arrays arrive sharded on the leading axis and
+    params replicated; XLA inserts the gradient all-reduce automatically.
+    """
+    mask = None  # built lazily from the first trainable tree
+
+    def loss_fn(trainable, batch, rng):
+        return compute_losses(frozen, trainable, cfg, sched, stage, batch,
+                              rng, task, te_loss_fn)
+
+    def step(trainable, opt_state, batch, rng):
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, batch, rng)
+        mask = trainable_filter(stage, trainable)
+        grads = apply_grad_mask(grads, mask)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        # also mask the updates so weight decay cannot leak into frozen
+        # adapter subtrees (requires_grad_(False) semantics)
+        updates = apply_grad_mask(updates, mask)
+        trainable = jax.tree.map(lambda p, u: p + u, trainable, updates)
+        return trainable, opt_state, logs
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
