@@ -1,0 +1,169 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from unirestore_tpu.data import datasets as DS
+from unirestore_tpu.data import datasets_det as DDET
+from unirestore_tpu.data.corruption import (CORRUPTION_NAMES, corrupt,
+                                            init_corruption_function)
+from unirestore_tpu.data.engine import DatasetEngine
+from unirestore_tpu.data.loader import DataLoader, WeightedMixture, collate
+from unirestore_tpu.data.manifest import ImageData
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    """Synthetic dataset tree + manifests."""
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+
+    def save_img(path, hw=(80, 96)):
+        arr = (rng.uniform(size=(*hw, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(path)
+        return str(path)
+
+    def save_mask(path, hw=(80, 96)):
+        arr = rng.integers(0, 34, size=hw).astype(np.uint8)
+        Image.fromarray(arr, mode="L").save(path)
+        return str(path)
+
+    dd = {}
+    # IR
+    lines = []
+    for i in range(4):
+        hq = save_img(root / f"ir_hq{i}.png")
+        lq = save_img(root / f"ir_lq{i}.png")
+        lines.append(f"{lq} {hq} None")
+    ir_list = root / "ir.list"
+    ir_list.write_text("\n".join(lines))
+    dd["DIVF2KOST"] = {"train": str(ir_list), "val": str(ir_list)}
+    # CLS
+    lines = []
+    for i in range(4):
+        hq = save_img(root / f"cls{i}.png")
+        lines.append(f"None {hq} {i % 3}")
+    cls_list = root / "cls.list"
+    cls_list.write_text("\n".join(lines))
+    dd["ImageNet"] = {"train": str(cls_list), "val": str(cls_list)}
+    # SEG (5-field foggy rows)
+    lines = []
+    for i in range(3):
+        fogs = [save_img(root / f"fog{i}_{k}.png") for k in range(3)]
+        hq = save_img(root / f"seg_hq{i}.png")
+        m = save_mask(root / f"seg_m{i}.png")
+        lines.append(" ".join(fogs + [hq, m]))
+    seg_list = root / "seg.list"
+    seg_list.write_text("\n".join(lines))
+    dd["FoggyCityscapes"] = {"train": str(seg_list), "val": str(seg_list)}
+    dd["Cityscapes"] = {"train": str(seg_list), "val": str(seg_list)}
+    # DET
+    lines = []
+    for i in range(3):
+        hq = save_img(root / f"det{i}.png", hw=(100, 120))
+        ann = {"object1": {"name": "person",
+                           "bndbox": {"xmin": 10, "ymin": 10, "xmax": 60,
+                                      "ymax": 70}},
+               "object2": {"name": "car",
+                           "bndbox": {"xmin": 30, "ymin": 20, "xmax": 110,
+                                      "ymax": 90}}}
+        ann_p = root / f"det{i}.json"
+        ann_p.write_text(json.dumps(ann))
+        lines.append(f"None {hq} {ann_p}")
+    det_list = root / "det.list"
+    det_list.write_text("\n".join(lines))
+    dd["COCO"] = {"train": str(det_list), "val": str(det_list)}
+    dd["RTTS"] = {"test": str(det_list)}
+    return dd
+
+
+def test_corruption_subsets():
+    assert len(init_corruption_function("common")) == 16  # 15 + clean
+    assert len(init_corruption_function("validation")) == 5
+    assert init_corruption_function("clean") == ["clean"]
+    img = (np.random.rand(48, 48, 3) * 255).astype(np.uint8)
+    out = corrupt(img, 3, "gaussian_noise")
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, img)
+
+
+def test_ir_corrupt_dataset(fixtures):
+    ds = DS.IRCorruptDataset(ImageData(fixtures["DIVF2KOST"]["train"]),
+                             resolution=64, is_train=True)
+    s = ds.__getitem__(0)
+    assert s["lq"].shape == (64, 64, 3) and s["hq"].shape == (64, 64, 3)
+    assert s["task"] == "ir" and 0.0 <= s["lq"].min() <= s["lq"].max() <= 1.0
+    # determinism: same index+epoch -> same sample
+    s2 = ds.__getitem__(0)
+    np.testing.assert_array_equal(s["lq"], s2["lq"])
+    s3 = ds.__getitem__(0, epoch=1)
+    assert not np.array_equal(s["lq"], s3["lq"])
+
+
+def test_cls_dataset(fixtures):
+    ds = DS.CLSCorruptDataset(ImageData(fixtures["ImageNet"]["train"]),
+                              resolution=64, is_train=True)
+    s = ds.__getitem__(1)
+    assert s["gt"] in (0, 1, 2) and s["task"] == "cls"
+    assert s["lq"].shape == (64, 64, 3)
+
+
+def test_seg_dataset_foggy_rows(fixtures):
+    ds = DS.CityscapesCorruptDataset(
+        ImageData(fixtures["FoggyCityscapes"]["train"]), resolution=64,
+        is_train=True)
+    s = ds.__getitem__(0)
+    assert s["gt"].shape == (64, 64)
+    ids = np.unique(s["gt"])
+    assert all((0 <= i < 19) or i == 255 for i in ids)
+
+
+def test_det_dataset_box_aug(fixtures):
+    ds = DDET.CoCoCorruptDataset(ImageData(fixtures["COCO"]["train"]),
+                                 resolution=64, is_train=True)
+    s = ds.__getitem__(0)
+    assert s["lq"].shape == (64, 64, 3)
+    assert s["gt"]["boxes"].shape[1] == 4 and len(s["gt"]["labels"]) >= 1
+    assert (s["gt"]["boxes"][:, 2] > s["gt"]["boxes"][:, 0]).all()
+    assert s["gt"]["boxes"].max() <= 64
+
+
+def test_weighted_mixture_ratios(fixtures):
+    a = DS.IRCorruptDataset(ImageData(fixtures["DIVF2KOST"]["train"]),
+                            resolution=64)
+    b = DS.CLSCorruptDataset(ImageData(fixtures["ImageNet"]["train"]),
+                             resolution=64)
+    mix = WeightedMixture([a, b], weights=[1, 10], seed=0)
+    counts = [0, 0]
+    for _ in range(500):
+        ds_idx, _ = mix.sample_index()
+        counts[ds_idx] += 1
+    assert counts[1] > counts[0] * 5  # ~10:1
+
+
+def test_loader_batching_and_prefetch(fixtures):
+    ds = DS.IRPairDataset(ImageData(fixtures["DIVF2KOST"]["val"]),
+                          resolution=64, is_train=False)
+    dl = DataLoader(ds, batch_size=2, num_workers=1)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert batches[0]["lq"].shape == (2, 80, 96, 3)
+    assert batches[0]["task"] == "ir"
+
+
+def test_engine_mtl_loaders(fixtures):
+    eng = DatasetEngine(task="mtl", train={"type": "all", "resolution": 64,
+                                           "batch_size": 1},
+                        val={"type": "val", "batch_size": 1},
+                        dataset_dict=fixtures, num_workers=0)
+    tl = eng.train_dataloader()
+    it = iter(tl)
+    tasks = set()
+    for _ in range(12):
+        b = next(it)
+        tasks.add(b["task"])
+    assert tasks.issubset({"ir", "cls", "seg"}) and len(tasks) >= 2
+    vls = eng.val_dataloader()
+    assert len(vls) == 3
