@@ -1,0 +1,137 @@
+"""YAML config system mirroring the reference's LightningCLI surface.
+
+Same document shape as the reference configs (configs/train_stage*.yaml):
+``seed_everything``, ``trainer{...}``, ``model{class_path, init_args}``,
+``data{class_path, init_args}``; CLI dotted overrides
+(``--trainer.logger null``, README.md:82) are applied on top.
+
+Reference class_path strings are accepted as aliases so the reference YAMLs
+drive this framework unchanged.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import yaml
+
+ENGINE_ALIASES = {
+    "core.engine_unifie.LitUniFIE": "ir",
+    "core.engine_unifie.LitUniFIEIR": "ir",
+    "core.engine_unifie.LitUniFIEMTL": "mtl",
+    "core.engine_unifie.LitUniFIECLF": "cls",
+    "core.engine_unifie.LitUniFIESemseg": "seg",
+    "core.engine_unifie.LitUniFIEDET": "det",
+    "unirestore_tpu.ir": "ir",
+    "unirestore_tpu.mtl": "mtl",
+    "unirestore_tpu.cls": "cls",
+    "unirestore_tpu.seg": "seg",
+    "unirestore_tpu.det": "det",
+}
+
+
+def load_config(path: str, overrides: list[str] | None = None) -> dict:
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    for ov in overrides or []:
+        key, _, val = ov.partition("=")
+        key = key.lstrip("-")
+        set_dotted(cfg, key, yaml.safe_load(val) if val != "" else None)
+    return cfg
+
+
+def set_dotted(cfg: dict, dotted: str, value):
+    parts = dotted.split(".")
+    node = cfg
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def engine_type(cfg: dict) -> str:
+    cp = cfg.get("model", {}).get("class_path", "unirestore_tpu.ir")
+    if cp not in ENGINE_ALIASES:
+        raise KeyError(f"unknown model class_path: {cp}")
+    return ENGINE_ALIASES[cp]
+
+
+def build(cfg: dict, tiny: bool = False):
+    """Returns (engine, trainer, data_engine, evaluator_factory)."""
+    from .data.engine import DatasetEngine
+    from .evalx import evaluators as EV
+    from .train.engine import Trainer, UniFIEEngine
+
+    etype = engine_type(cfg)
+    m = copy.deepcopy(cfg.get("model", {}).get("init_args", {}))
+    engine = UniFIEEngine(
+        model_kwargs=m.get("model_kwargs", {}),
+        optimizer_kwargs=m.get("optimizer_kwargs"),
+        lr_scheduler_kwargs=m.get("lr_scheduler_kwargs"),
+        eval_mode=m.get("eval_mode", "FR"),
+        save_image=m.get("save_image", False),
+        need_crop=m.get("need_crop", True),
+        downstream=m.get("downstream"),
+        tiny=tiny,
+        seed=cfg.get("seed_everything", 42),
+    )
+    engine.engine_type = etype
+
+    t = cfg.get("trainer", {})
+    logger = t.get("logger") or {}
+    root = (logger.get("init_args", {}) or {}).get("save_dir", "logs")
+    trainer = Trainer(
+        max_steps=t.get("max_steps", 1000),
+        val_check_interval=t.get("val_check_interval") or 0,
+        log_every_n_steps=t.get("log_every_n_steps", 25),
+        accumulate_grad_batches=t.get("accumulate_grad_batches", 1),
+        default_root_dir=root,
+        limit_val_batches=t.get("limit_val_batches"),
+        seed=cfg.get("seed_everything", 42),
+    )
+
+    d = cfg.get("data", {}).get("init_args", {})
+    data = DatasetEngine(**d) if d else None
+
+    def evaluator_factory(eng):
+        restore = eng.restore_fn()
+        if etype == "ir":
+            return EV.ImageRestorationEvaluator(
+                restore, eval_mode=m.get("eval_mode", "FR"),
+                need_crop=m.get("need_crop", True))
+        if etype == "cls":
+            critics = eng.build_critics()
+            from .tasks import resnet as RN
+            import jax
+
+            clf = jax.jit(lambda imgs: RN.resnet_apply(critics["cls"], imgs))
+            return EV.ClassificationEvaluator(restore, {"r50v1": clf})
+        if etype == "seg":
+            critics = eng.build_critics()
+            from .tasks import deeplab as DLB
+            import jax
+
+            seg = jax.jit(
+                lambda imgs: DLB.deeplabv3plus_apply(critics["seg"], imgs))
+            return EV.SemanticSegmentationEvaluator(restore,
+                                                    {"dlv3pr50": seg})
+        if etype == "mtl":
+            critics = eng.build_critics()
+            import jax
+
+            from .tasks import deeplab as DLB
+            from .tasks import resnet as RN
+
+            clf = jax.jit(lambda imgs: RN.resnet_apply(critics["cls"], imgs))
+            seg = jax.jit(
+                lambda imgs: DLB.deeplabv3plus_apply(critics["seg"], imgs))
+            return EV.MultiTaskEvaluator(
+                EV.ImageRestorationEvaluator(restore),
+                EV.ClassificationEvaluator(restore, {"r50v1": clf}),
+                EV.SemanticSegmentationEvaluator(restore, {"dlv3pr50": seg}))
+        if etype == "det":
+            raise NotImplementedError(
+                "detection evaluation requires a converted detector "
+                "checkpoint (see tools/convert_torchvision.py)")
+        raise KeyError(etype)
+
+    return engine, trainer, data, evaluator_factory

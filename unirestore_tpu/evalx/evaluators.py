@@ -1,0 +1,224 @@
+"""Per-task evaluators: validation loops over a restore function.
+
+Reproduce the reference evaluation protocols (SURVEY §2.3):
+
+- IR (eval_image_restoration.py): center-crop <= 512^2, restore [hq, lq],
+  quantize to uint8 levels, PSNR/SSIM (+LPIPS/FID when weights present);
+  monitor val_lq/psnr
+- CLS (eval_classification.py): crop <= 960x1664, top-1 through frozen
+  classifier(s) on 224^2 ImageNet-normalized resize; monitor val_lq/<probe>
+- SEG (eval_semantic_segmentation.py): logit-average TTA over scales
+  (1, 0.8, 0.6), 19-class mIoU(ignore 255); monitor val_lq/<probe>
+- DET (eval_detection.py): mAP@IoU0.1 through a frozen detector
+- MTL (eval_multi_task.py): route each batch by its task tag
+
+The ``restore_fn(images_nhwc, task) -> images_nhwc`` closure wraps the
+jitted model (one compiled variant per input shape/task).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import metrics as M
+from .task_metric import TaskMetric
+
+
+def center_crop(img: np.ndarray, upper_h: int, upper_w: int) -> np.ndarray:
+    """(B, H, W, C) center crop to at most (upper_h, upper_w)
+    (eval_image_restoration.py:113-136)."""
+    h, w = img.shape[1:3]
+    ch, cw = min(h, upper_h), min(w, upper_w)
+    top, left = h // 2 - ch // 2, w // 2 - cw // 2
+    return img[:, top:top + ch, left:left + cw]
+
+
+class ImageRestorationEvaluator:
+    def __init__(self, restore_fn, eval_mode: str = "FR",
+                 need_crop: bool = True, lpips_fn=None, fid=None):
+        self.restore_fn = restore_fn
+        self.eval_mode = eval_mode
+        self.need_crop = need_crop
+        self.eval_types = ["lq"] if eval_mode == "NR" else ["hq", "lq"]
+        self.task_metric = TaskMetric(self.eval_types)
+        self.task_metric.add_metric("psnr", M.MeanMetric)
+        self.task_metric.add_metric("ssim", M.MeanMetric)
+        self.lpips_fn = lpips_fn
+        if lpips_fn is not None:
+            self.task_metric.add_metric("lpips", M.MeanMetric)
+        self.fid = fid  # dict eval_type -> FID when available
+
+    def validation_step(self, batch):
+        hq = batch.get("hq")
+        lq = batch["lq"]
+        if self.need_crop:
+            lq = center_crop(lq, 512, 512)
+            if hq is not None:
+                hq = center_crop(hq, 512, 512)
+        inputs = {}
+        if "hq" in self.eval_types and hq is not None:
+            inputs["hq"] = hq
+        inputs["lq"] = lq
+        for etype, imgs in inputs.items():
+            pred = np.asarray(self.restore_fn(imgs, "ir"), np.float32)
+            pred = M.quantize_preds(pred)
+            if hq is not None:
+                target = np.clip(hq, 0, 1).astype(np.float32)
+                mm = self.task_metric.metrics[etype]
+                for p, t in zip(pred, target):
+                    mm["psnr"].update(M.psnr(t, p))
+                    mm["ssim"].update(M.ssim(p, t))
+                if self.lpips_fn is not None:
+                    d = np.asarray(self.lpips_fn(pred, target))
+                    for v in d:
+                        mm["lpips"].update(float(v))
+                if self.fid is not None:
+                    self.fid[etype].update(pred, real=False)
+                    self.fid[etype].update(target, real=True)
+        return pred
+
+    def epoch_end(self, prefix: str = "val"):
+        out = self.task_metric.compute_metrics(prefix)
+        if self.fid is not None:
+            for etype, fid in self.fid.items():
+                out[f"{prefix}_{etype}/fid"] = fid.compute()
+        out["val_monitor"] = out.get(f"{prefix}_lq/psnr", 0.0)
+        self.task_metric.reset_metrics()
+        return out
+
+
+class ClassificationEvaluator:
+    def __init__(self, restore_fn, classifiers: dict):
+        """``classifiers``: name -> fn(images_nhwc01) -> logits numpy."""
+        self.restore_fn = restore_fn
+        self.classifiers = classifiers
+        self.eval_types = ["hq", "lq"]
+        self.task_metric = TaskMetric(self.eval_types)
+        for name in classifiers:
+            self.task_metric.add_metric(name, M.TopKAccuracy)
+
+    def validation_step(self, batch):
+        labels = np.asarray(batch["gt"])
+        for etype in self.eval_types:
+            imgs = batch.get(etype if etype != "hq" else "hq")
+            if imgs is None:
+                continue
+            imgs = center_crop(imgs, 960, 1664)
+            pred = np.asarray(self.restore_fn(imgs, "cls"), np.float32)
+            pred = np.clip(pred, 0, 1)
+            for name, clf in self.classifiers.items():
+                logits = np.asarray(clf(pred))
+                self.task_metric.metrics[etype][name].update(logits, labels)
+
+    def epoch_end(self, prefix: str = "val"):
+        out = self.task_metric.compute_metrics(prefix)
+        first = next(iter(self.classifiers))
+        out["val_monitor"] = out.get(f"{prefix}_lq/{first}", 0.0)
+        self.task_metric.reset_metrics()
+        return out
+
+
+class SemanticSegmentationEvaluator:
+    TTA_SCALES = (1.0, 0.8, 0.6)
+
+    def __init__(self, restore_fn, seg_models: dict, num_classes: int = 19,
+                 tta: bool = True):
+        """``seg_models``: name -> fn(images) -> logits (B,H,W,C) numpy."""
+        self.restore_fn = restore_fn
+        self.seg_models = seg_models
+        self.tta = tta
+        self.eval_types = ["hq", "lq"]
+        self.task_metric = TaskMetric(self.eval_types)
+        for name in seg_models:
+            self.task_metric.add_metric(
+                name, lambda: M.ConfusionIoU(num_classes))
+
+    def _predict_logits(self, model, imgs):
+        """Scale-averaged TTA (eval_semantic_segmentation.py:220-237)."""
+        import cv2
+        h, w = imgs.shape[1:3]
+        total = None
+        scales = self.TTA_SCALES if self.tta else (1.0,)
+        for s in scales:
+            if s == 1.0:
+                scaled = imgs
+            else:
+                nh, nw = int(round(h * s)), int(round(w * s))
+                scaled = np.stack([cv2.resize(im, (nw, nh),
+                                              interpolation=cv2.INTER_LINEAR)
+                                   for im in imgs])
+            logits = np.asarray(model(scaled), np.float32)
+            if s != 1.0:
+                logits = np.stack([cv2.resize(lg, (w, h),
+                                              interpolation=cv2.INTER_LINEAR)
+                                   for lg in logits])
+            total = logits if total is None else total + logits
+        return total / len(scales)
+
+    def validation_step(self, batch):
+        labels = np.asarray(batch["gt"])
+        for etype in self.eval_types:
+            imgs = batch.get(etype)
+            if imgs is None:
+                continue
+            imgs = center_crop(imgs, 960, 1664)
+            lb = labels[:, :imgs.shape[1], :imgs.shape[2]] \
+                if labels.shape[1:] != imgs.shape[1:3] else labels
+            pred = np.asarray(self.restore_fn(imgs, "seg"), np.float32)
+            pred = np.clip(pred, 0, 1)
+            for name, model in self.seg_models.items():
+                logits = self._predict_logits(model, pred)
+                seg = logits.argmax(-1)
+                self.task_metric.metrics[etype][name].update(seg, lb)
+
+    def epoch_end(self, prefix: str = "val"):
+        out = self.task_metric.compute_metrics(prefix)
+        first = next(iter(self.seg_models))
+        out["val_monitor"] = out.get(f"{prefix}_lq/{first}", 0.0)
+        self.task_metric.reset_metrics()
+        return out
+
+
+class DetectionEvaluator:
+    def __init__(self, restore_fn, detector_fn, iou_thresholds=(0.1,)):
+        """``detector_fn(images) -> list of {boxes, scores, labels}``."""
+        self.restore_fn = restore_fn
+        self.detector_fn = detector_fn
+        self.eval_types = ["lq"]
+        self.map = {t: M.MeanAveragePrecision(iou_thresholds)
+                    for t in self.eval_types}
+
+    def validation_step(self, batch):
+        targets = batch["gt"] if isinstance(batch["gt"], list) \
+            else [batch["gt"]]
+        imgs = batch["lq"]
+        pred = np.asarray(self.restore_fn(imgs, "det"), np.float32)
+        dets = self.detector_fn(np.clip(pred, 0, 1))
+        self.map["lq"].update(dets, targets)
+
+    def epoch_end(self, prefix: str = "val"):
+        out = {f"{prefix}_lq/map": self.map["lq"].compute()}
+        out["val_monitor"] = out[f"{prefix}_lq/map"]
+        for m in self.map.values():
+            m.reset()
+        return out
+
+
+class MultiTaskEvaluator:
+    """Route each val batch by its task tag (eval_multi_task.py:144-165)."""
+
+    def __init__(self, ir_eval, cls_eval, seg_eval):
+        self.evals = {"ir": ir_eval, "cls": cls_eval, "seg": seg_eval}
+
+    def validation_step(self, batch):
+        self.evals[batch["task"]].validation_step(batch)
+
+    def epoch_end(self, prefix: str = "val"):
+        out = {}
+        for task, ev in self.evals.items():
+            sub = ev.epoch_end(prefix=f"{prefix}_{task}")
+            sub.pop("val_monitor", None)
+            out.update(sub)
+        # monitor = IR PSNR (eval_multi_task.py:79-95)
+        out["val_monitor"] = out.get(f"{prefix}_ir_lq/psnr", 0.0)
+        return out

@@ -1,0 +1,291 @@
+"""Training/validation engine — the LitUniFIE equivalent.
+
+Maps the reference's YAML surface (model_kwargs {frenc, cnet, tedit},
+optimizer_kwargs, lr_scheduler_kwargs; engine_unifie.py:19-133) onto the
+TPU-native pieces: UniRestoreConfig + (frozen, trainable) pytrees + staged
+jitted train steps + data-parallel mesh + adapter-only checkpoints.
+
+Engine variants bind the per-task TFA loss and evaluator
+(engine_unifie.py:238-336): IR (L1), MTL (10xL1 ir / 0.1xCE cls / 0.1xCE
+seg), CLF, Semseg, DET.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import unirestore as UR
+from ..models import vae as VAEmod
+from ..parallel import make_mesh, replicate, shard_batch
+from ..tasks import deeplab as DLB
+from ..tasks import resnet as RN
+from .. import zoo
+from . import checkpoints as CKPT
+from . import optim as OPT
+from . import steps as ST
+
+
+def build_model_config(model_kwargs: dict) -> tuple[UR.UniRestoreConfig,
+                                                    ST.StageConfig]:
+    frenc = model_kwargs.get("frenc")
+    cnet = model_kwargs.get("cnet")
+    tedit = model_kwargs.get("tedit")
+    if frenc and frenc.get("type") not in ("CFRM", None):
+        raise ValueError(f"Invalid fr_type {frenc.get('type')}")
+    cfg = UR.UniRestoreConfig(
+        use_cfrm=bool(frenc),
+        control_type=(cnet or {}).get("type", "none") if cnet else "none",
+        num_inference_steps=(cnet or {}).get("num_inference_steps", 1),
+        use_tfa=bool(tedit),
+        tasks=tuple((tedit or {}).get("task", ("ir",))),
+        prompt_len=(tedit or {}).get("prompt_len", 1),
+    )
+    stage = ST.StageConfig(
+        train_cfrm=bool(frenc and frenc.get("train")),
+        train_cnet=bool(cnet and cnet.get("train")),
+        train_tfa=bool(tedit and tedit.get("train")),
+        tfa_prompts_only=bool(tedit and tedit.get("new_task_only", False)),
+        multi_task=bool(tedit and len(tedit.get("task", [])) > 1),
+    )
+    return cfg, stage
+
+
+class UniFIEEngine:
+    """Builds params, loads stage checkpoints, owns train/eval closures."""
+
+    engine_type = "ir"  # ir | mtl | cls | seg | det
+
+    def __init__(self, model_kwargs: dict, optimizer_kwargs: dict | None = None,
+                 lr_scheduler_kwargs: dict | None = None,
+                 eval_mode: str = "FR", save_image: bool = False,
+                 need_crop: bool = True, downstream: str | None = None,
+                 tiny: bool = False, seed: int = 42,
+                 compute_dtype: str = "bfloat16"):
+        self.model_kwargs = model_kwargs or {}
+        self.optimizer_kwargs = optimizer_kwargs or {
+            "opt": "adamw", "base_lr": 1e-4, "base_bsz": 64}
+        self.lr_scheduler_kwargs = lr_scheduler_kwargs
+        self.eval_mode = eval_mode
+        self.save_image = save_image
+        self.need_crop = need_crop
+        self.downstream = downstream
+        self.seed = seed
+        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" \
+            else jnp.float32
+
+        cfg, stage = build_model_config(self.model_kwargs)
+        if tiny:
+            base = UR.tiny_config(use_tfa=cfg.use_tfa,
+                                  control_type=cfg.control_type
+                                  if cfg.use_cnet else "none",
+                                  tasks=cfg.tasks)
+            cfg = base
+        self.cfg = cfg
+        self.stage = stage
+        self.sched = UR.schedule(cfg)
+        self.configure_model()
+
+    # -- model/param construction (engine_unifie.py:35-133) ---------------
+
+    def configure_model(self):
+        key = jax.random.PRNGKey(self.seed)
+        frozen, trainable = UR.init(key, self.cfg)
+        frozen = zoo.load_frozen_backbone(frozen, self.cfg)
+
+        mk = self.model_kwargs
+        for family, keys in (("frenc", {"cfrm"}),
+                             ("cnet", {"controller", "control"}),
+                             ("tedit", {"tfa"})):
+            d = mk.get(family)
+            if d and d.get("ckpt_path") and "$" in str(d["ckpt_path"]):
+                print(f"!!Skipping {family} ckpt placeholder "
+                      f"{d['ckpt_path']!r}")
+                d = dict(d, ckpt_path=None)
+            if d and d.get("ckpt_path"):
+                trainable = CKPT.load_subtree(d["ckpt_path"], trainable, keys)
+                print(f"!!Loaded {family} from {d['ckpt_path']}")
+
+        self.frozen = frozen
+        self.trainable = trainable
+        self._jit_cache = {}
+
+    # -- losses (engine variants, engine_unifie.py:238-336) ---------------
+
+    def build_critics(self):
+        """Frozen downstream nets for stage-2 losses/eval (lazy)."""
+        critics = {}
+        if self.engine_type in ("mtl", "cls"):
+            p = RN.resnet_init(jax.random.PRNGKey(7), "resnet50")
+            p, _ = zoo.load_npz_tree("resnet50_v1", p)
+            critics["cls"] = p
+        if self.engine_type in ("mtl", "seg"):
+            p = DLB.deeplabv3plus_init(jax.random.PRNGKey(8))
+            p, _ = zoo.load_npz_tree("deeplabv3plus_resnet50", p)
+            critics["seg"] = p
+        return critics
+
+    def te_loss_fn(self, critics):
+        """Returns te_loss_fn(preds, hq, gt, task) for the jitted step."""
+        etype = self.engine_type
+
+        def fn(preds, hq, gt, task):
+            p32 = preds.astype(jnp.float32)
+            if etype == "mtl":
+                if task == "ir":
+                    return 10.0 * jnp.abs(p32 - hq.astype(jnp.float32)).mean()
+                if task == "cls":
+                    logits = RN.resnet_apply(critics["cls"], p32)
+                    return 0.1 * RN.cross_entropy_loss(logits, gt)
+                if task == "seg":
+                    logits = DLB.deeplabv3plus_apply(critics["seg"], p32)
+                    return 0.1 * DLB.seg_cross_entropy_loss(logits, gt)
+                raise KeyError(f"Task [{task}] is not defined!")
+            if etype == "ir":
+                return jnp.abs(p32 - hq.astype(jnp.float32)).mean()
+            if etype == "cls":
+                logits = RN.resnet_apply(critics["cls"], p32)
+                return RN.cross_entropy_loss(logits, gt)
+            if etype == "seg":
+                logits = DLB.deeplabv3plus_apply(critics["seg"], p32)
+                return DLB.seg_cross_entropy_loss(logits, gt)
+            raise KeyError(etype)
+
+        return fn
+
+    # -- inference ---------------------------------------------------------
+
+    def restore_fn(self, num_inference_steps: int | None = None):
+        """Host-callable restore closure; one jit per (shape, task)."""
+        dt = self.compute_dtype
+        frozen = jax.tree.map(lambda x: x.astype(dt), self.frozen)
+
+        def run(images, task):
+            tr = jax.tree.map(lambda x: x.astype(dt), self.trainable)
+            key = ("restore", images.shape, task)
+            if key not in self._jit_cache:
+                def f(fz, t, img, rng):
+                    return UR.restore(fz, t, self.cfg, self.sched,
+                                      img.astype(dt), task, rng,
+                                      num_inference_steps)
+                self._jit_cache[key] = jax.jit(f)
+            rng = jax.random.PRNGKey(0)
+            out = self._jit_cache[key](frozen, tr, jnp.asarray(images), rng)
+            return np.asarray(out.astype(jnp.float32))
+
+        return run
+
+
+class Trainer:
+    """fit/validate loops (Lightning Trainer surface subset)."""
+
+    def __init__(self, max_steps: int = 1000, val_check_interval: int = 0,
+                 log_every_n_steps: int = 25, accumulate_grad_batches: int = 1,
+                 default_root_dir: str = "logs", save_top_k: int = 5,
+                 monitor_mode: str = "max", num_sanity_val_steps: int = 0,
+                 limit_val_batches: int | None = None, seed: int = 42):
+        self.max_steps = max_steps
+        self.val_check_interval = val_check_interval
+        self.log_every = log_every_n_steps
+        self.accum = accumulate_grad_batches
+        self.root = default_root_dir
+        self.save_top_k = save_top_k
+        self.monitor_mode = monitor_mode
+        self.limit_val_batches = limit_val_batches
+        self.seed = seed
+        self.mesh = make_mesh()
+        self.logs = []
+
+    def _log(self, step, logs):
+        entry = {"step": step,
+                 **{k: float(v) for k, v in logs.items()}}
+        self.logs.append(entry)
+        msg = " ".join(f"{k}={v:.4f}" for k, v in entry.items()
+                       if k != "step")
+        print(f"[step {step}] {msg}", flush=True)
+
+    def fit(self, engine: UniFIEEngine, data, evaluator_factory=None):
+        n_dev = len(self.mesh.devices.reshape(-1))
+        train_loader = data.train_dataloader()
+        batch_size = train_loader.batch_size
+        tx, peak = OPT.build(engine.optimizer_kwargs,
+                             engine.lr_scheduler_kwargs,
+                             total_steps=self.max_steps,
+                             batch_size=batch_size, accum_iter=self.accum,
+                             num_devices=n_dev)
+        print(f"[optimizer] peak lr {peak:.2e} over {self.max_steps} steps")
+        critics = engine.build_critics()
+        te_fn = engine.te_loss_fn(critics) if engine.cfg.use_tfa else None
+
+        trainable = replicate(self.mesh, engine.trainable)
+        frozen = replicate(self.mesh, engine.frozen)
+        opt_state = replicate(self.mesh, tx.init(engine.trainable))
+
+        steps_by_task = {}
+
+        def get_step(task):
+            if task not in steps_by_task:
+                steps_by_task[task] = ST.make_train_step(
+                    frozen, engine.cfg, engine.sched, engine.stage, tx, task,
+                    te_loss_fn=te_fn, donate=True)
+            return steps_by_task[task]
+
+        mgr = CKPT.CheckpointManager(os.path.join(self.root, "checkpoints"),
+                                     self.save_top_k, self.monitor_mode)
+        rng = jax.random.PRNGKey(self.seed)
+        step = 0
+        t0 = time.time()
+        it = iter(train_loader)
+        while step < self.max_steps:
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(train_loader)
+                batch = next(it)
+            task = batch.pop("task")
+            batch.pop("fname", None)
+            dev_batch = shard_batch(self.mesh, {
+                k: v for k, v in batch.items()
+                if isinstance(v, np.ndarray)})
+            rng, sub = jax.random.split(rng)
+            trainable, opt_state, logs = get_step(task)(
+                trainable, opt_state, dev_batch, sub)
+            step += 1
+            if step % self.log_every == 0 or step == 1:
+                logs = {k: float(v) for k, v in logs.items()}
+                logs["imgs_per_sec"] = batch_size * self.log_every / max(
+                    time.time() - t0, 1e-9)
+                t0 = time.time()
+                self._log(step, logs)
+            if (self.val_check_interval and evaluator_factory
+                    and step % self.val_check_interval == 0):
+                engine.trainable = jax.tree.map(np.asarray, trainable)
+                metrics = self.validate(engine, data, evaluator_factory)
+                mgr.save(engine.trainable, step,
+                         metrics.get("val_monitor", 0.0))
+        engine.trainable = jax.tree.map(np.asarray, trainable)
+        final = os.path.join(self.root, "checkpoints", "last.npz")
+        CKPT.save_checkpoint(final, engine.trainable, step)
+        print(f"[fit] done at step {step}; saved {final}")
+        return engine
+
+    def validate(self, engine: UniFIEEngine, data, evaluator_factory):
+        evaluator = evaluator_factory(engine)
+        loaders = data.val_dataloader()
+        if not isinstance(loaders, (list, tuple)):
+            loaders = [loaders]
+        n = 0
+        for loader in loaders:
+            for batch in loader:
+                evaluator.validation_step(batch)
+                n += 1
+                if self.limit_val_batches and n >= self.limit_val_batches:
+                    break
+        metrics = evaluator.epoch_end()
+        from ..evalx.task_metric import TaskMetric
+        TaskMetric.print_metrics(metrics)
+        return metrics

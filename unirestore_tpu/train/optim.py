@@ -27,9 +27,13 @@ def make_lr_schedule(sched: str | None, peak_lr: float, total_steps: int,
     if sched is None:
         return peak_lr
     if sched == "onecycle":
+        total = max(total_steps, 2)
+        # guard tiny runs: warmup interval must span >= 1 step or the
+        # piecewise interpolation divides by zero
+        pct = max(kwargs.get("pct_start", 0.1), 1.0 / total)
         return optax.cosine_onecycle_schedule(
-            transition_steps=max(total_steps, 1), peak_value=peak_lr,
-            pct_start=kwargs.get("pct_start", 0.1),
+            transition_steps=total, peak_value=peak_lr,
+            pct_start=pct,
             div_factor=kwargs.get("div_factor", 10.0),
             final_div_factor=kwargs.get("final_div_factor", 1e4))
     if sched == "step":
@@ -74,9 +78,15 @@ def build(optimizer_kwargs: dict, lr_scheduler_kwargs: dict | None,
           num_devices: int):
     """Full factory from the reference's YAML kwargs surface
     (train_stage1.yaml:61-67)."""
-    peak = effective_lr(optimizer_kwargs["base_lr"],
-                        optimizer_kwargs["base_bsz"], batch_size, accum_iter,
-                        num_devices)
+    # YAML 1.1 parses "1e-4" as a string — coerce numeric fields
+    optimizer_kwargs = {
+        k: (float(v) if isinstance(v, str)
+            and v.replace(".", "").replace("e", "").replace("-", "")
+            .replace("+", "").isdigit() else v)
+        for k, v in optimizer_kwargs.items()}
+    peak = effective_lr(float(optimizer_kwargs["base_lr"]),
+                        int(optimizer_kwargs["base_bsz"]), batch_size,
+                        accum_iter, num_devices)
     sched_kwargs = dict(lr_scheduler_kwargs or {})
     sched = sched_kwargs.pop("sched", None)
     lr = make_lr_schedule(sched, peak, total_steps, **sched_kwargs)
