@@ -1,0 +1,137 @@
+"""Offline converter: torchvision / LPIPS / DeepLab checkpoints -> npz trees.
+
+Run where torch + the checkpoints are available; outputs go to ./weights for
+the zero-egress runtime to load (unirestore_tpu.zoo).
+
+    python tools/convert_torchvision.py resnet50 /path/resnet50-v1.pth
+    python tools/convert_torchvision.py deeplabv3plus /path/dlv3p_r50.pth
+    python tools/convert_torchvision.py lpips_alex /path/alexnet.pth \
+        /path/lpips_lin_alex.pth
+
+ResNet mapping: torchvision names (conv1, bn1, layer{1-4}.{j}.conv{1-3}/
+bn{1-3}/downsample.{0,1}, fc) -> our tree (tasks/resnet.py). DeepLab mapping
+covers the reference's DeepLabV3+ checkpoints
+(src/modules/segmentation/deeplabv3).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from unirestore_tpu.train.checkpoints import SEP  # noqa: E402
+
+BLOCKS = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3),
+          "resnet101": (3, 4, 23, 3)}
+
+
+def _sd(path):
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+            for k, v in sd.items()}
+
+
+def conv_w(t):
+    return np.transpose(t, (2, 3, 1, 0))
+
+
+def _bn(out, ours, theirs, sd):
+    out[f"{ours}{SEP}scale"] = sd[f"{theirs}.weight"]
+    out[f"{ours}{SEP}bias"] = sd[f"{theirs}.bias"]
+    out[f"{ours}{SEP}mean"] = sd[f"{theirs}.running_mean"]
+    out[f"{ours}{SEP}var"] = sd[f"{theirs}.running_var"]
+
+
+def convert_resnet(sd: dict, arch: str = "resnet50", prefix: str = "",
+                   out_prefix: str = "") -> dict:
+    out = {}
+
+    def P(name):
+        return f"{out_prefix}{name}" if out_prefix else name
+
+    out[P(f"stem{SEP}conv{SEP}w")] = conv_w(sd[f"{prefix}conv1.weight"])
+    _bn(out, P(f"stem{SEP}bn"), f"{prefix}bn1", sd)
+    for i, n in enumerate(BLOCKS[arch]):
+        for j in range(n):
+            t = f"{prefix}layer{i + 1}.{j}"
+            o = P(f"layers{SEP}{i}{SEP}{j}")
+            for c in (1, 2, 3):
+                out[f"{o}{SEP}conv{c}{SEP}conv{SEP}w"] = conv_w(
+                    sd[f"{t}.conv{c}.weight"])
+                _bn(out, f"{o}{SEP}conv{c}{SEP}bn", f"{t}.bn{c}", sd)
+            if f"{t}.downsample.0.weight" in sd:
+                out[f"{o}{SEP}downsample{SEP}conv{SEP}w"] = conv_w(
+                    sd[f"{t}.downsample.0.weight"])
+                _bn(out, f"{o}{SEP}downsample{SEP}bn", f"{t}.downsample.1",
+                    sd)
+    if f"{prefix}fc.weight" in sd:
+        out[P(f"fc{SEP}w")] = np.transpose(sd[f"{prefix}fc.weight"], (1, 0))
+        out[P(f"fc{SEP}b")] = sd[f"{prefix}fc.bias"]
+    return out
+
+
+def convert_lpips(alexnet_path: str, lin_path: str) -> dict:
+    sd = _sd(alexnet_path)
+    out = {}
+    # torchvision alexnet features indices 0,3,6,8,10
+    for i, idx in enumerate((0, 3, 6, 8, 10)):
+        out[f"convs{SEP}{i}{SEP}w"] = conv_w(sd[f"features.{idx}.weight"])
+        out[f"convs{SEP}{i}{SEP}b"] = sd[f"features.{idx}.bias"]
+    lin = _sd(lin_path)
+    for i in range(5):
+        key = f"lin{i}.model.1.weight"
+        if key in lin:
+            out[f"lins{SEP}{i}{SEP}w"] = conv_w(lin[key])
+    return out
+
+
+def convert_deeplab(sd: dict) -> dict:
+    """Reference DeepLabV3+ ckpts: backbone.* + classifier.* modules."""
+    out = convert_resnet(sd, "resnet50", prefix="backbone.",
+                         out_prefix=f"backbone{SEP}")
+
+    def cb(ours, theirs):
+        out[f"{ours}{SEP}conv{SEP}w"] = conv_w(sd[f"{theirs}.0.weight"])
+        _bn(out, f"{ours}{SEP}bn", f"{theirs}.1", sd)
+
+    # reference classifier: ASPP (0=1x1, 1-3 atrous, 4 pool) + project
+    cb(f"aspp{SEP}conv1x1", "classifier.aspp.convs.0")
+    for i in range(3):
+        cb(f"aspp{SEP}atrous{SEP}{i}", f"classifier.aspp.convs.{i + 1}")
+    cb(f"aspp{SEP}pool", "classifier.aspp.convs.4.1")
+    cb(f"aspp{SEP}project", "classifier.aspp.project")
+    cb("low_proj", "classifier.project")
+    cb("decoder", "classifier.classifier.0")
+    out[f"classifier{SEP}w"] = conv_w(sd["classifier.classifier.3.weight"])
+    out[f"classifier{SEP}b"] = sd["classifier.classifier.3.bias"]
+    return out
+
+
+def main():
+    kind = sys.argv[1]
+    dst = "./weights"
+    os.makedirs(dst, exist_ok=True)
+    if kind in BLOCKS:
+        out = convert_resnet(_sd(sys.argv[2]), kind)
+        name = f"{kind}_v1"
+    elif kind == "deeplabv3plus":
+        out = convert_deeplab(_sd(sys.argv[2]))
+        name = "deeplabv3plus_resnet50"
+    elif kind == "lpips_alex":
+        out = convert_lpips(sys.argv[2], sys.argv[3])
+        name = "lpips_alex"
+    else:
+        raise SystemExit(f"unknown kind {kind}")
+    np.savez(os.path.join(dst, f"{name}.npz"), **out)
+    print(f"wrote {name}.npz ({len(out)} tensors)")
+
+
+if __name__ == "__main__":
+    main()
