@@ -110,29 +110,47 @@ def norm_init(c, dtype=jnp.float32):
 
 
 def group_norm(p, x, groups: int = 32, eps: float = 1e-5):
-    """GroupNorm over NHWC: stats over (H, W, C//G) per group, fp32 math."""
+    """GroupNorm over NHWC: stats over (H, W, C//G) per group.
+
+    Statistics accumulate in fp32 via reduction dtype (no materialized fp32
+    copy of the activation — halves HBM traffic in bf16); the normalization
+    itself folds into a per-(batch, channel) scale/shift applied in the
+    input dtype so XLA fuses it with neighbors.
+    """
     b, h, w, c = x.shape
-    orig_dtype = x.dtype
-    xg = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
-    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-    var = xg.var(axis=(1, 2, 4), keepdims=True)
-    xg = (xg - mean) * lax.rsqrt(var + eps)
-    y = xg.reshape(b, h, w, c)
+    xg = x.reshape(b, h, w, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 2, 4), dtype=jnp.float32)  # (b, g)
+    mean2 = jnp.mean(lax.square(xg.astype(jnp.float32)), axis=(1, 2, 4))
+    var = mean2 - lax.square(mean)
+    inv = lax.rsqrt(var + eps)  # (b, g)
+    # fold norm + affine into per-(b, c) scale/shift
+    inv_c = jnp.repeat(inv, c // groups, axis=1)  # (b, c)
+    mean_c = jnp.repeat(mean, c // groups, axis=1)
+    scale = inv_c
+    shift = -mean_c * inv_c
     if p is not None:
-        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(orig_dtype)
+        g = p["scale"].astype(jnp.float32)
+        bta = p["bias"].astype(jnp.float32)
+        scale = scale * g
+        shift = shift * g + bta
+    scale = scale[:, None, None, :].astype(x.dtype)
+    shift = shift[:, None, None, :].astype(x.dtype)
+    return x * scale + shift
 
 
 def layer_norm(p, x, eps: float = 1e-5):
-    """LayerNorm over the last axis (torch nn.LayerNorm / timm LayerNorm2d in NHWC)."""
-    orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(axis=-1, keepdims=True)
-    var = xf.var(axis=-1, keepdims=True)
-    y = (xf - mean) * lax.rsqrt(var + eps)
+    """LayerNorm over the last axis (torch nn.LayerNorm / timm LayerNorm2d
+    in NHWC). fp32 accumulation without a materialized fp32 copy."""
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(lax.square(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+    inv = lax.rsqrt(mean2 - lax.square(mean) + eps)
+    scale = inv.astype(x.dtype)
+    shift = (-mean * inv).astype(x.dtype)
+    y = x * scale + shift
     if p is not None:
-        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(orig_dtype)
+        y = y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    return y
 
 
 def instance_norm(x, eps: float = 1e-5):
