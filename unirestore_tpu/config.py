@@ -95,9 +95,12 @@ def build(cfg: dict, tiny: bool = False):
     def evaluator_factory(eng):
         restore = eng.restore_fn()
         if etype == "ir":
+            import os
+            save_dir = os.path.join(root, "dumps") \
+                if m.get("save_image") else None
             return EV.ImageRestorationEvaluator(
                 restore, eval_mode=m.get("eval_mode", "FR"),
-                need_crop=m.get("need_crop", True))
+                need_crop=m.get("need_crop", True), save_dir=save_dir)
         if etype == "cls":
             critics = eng.build_critics()
             from .tasks import resnet as RN

@@ -35,7 +35,8 @@ def center_crop(img: np.ndarray, upper_h: int, upper_w: int) -> np.ndarray:
 
 class ImageRestorationEvaluator:
     def __init__(self, restore_fn, eval_mode: str = "FR",
-                 need_crop: bool = True, lpips_fn=None, fid=None):
+                 need_crop: bool = True, lpips_fn=None, fid=None,
+                 save_dir: str | None = None):
         self.restore_fn = restore_fn
         self.eval_mode = eval_mode
         self.need_crop = need_crop
@@ -47,6 +48,20 @@ class ImageRestorationEvaluator:
         if lpips_fn is not None:
             self.task_metric.add_metric("lpips", M.MeanMetric)
         self.fid = fid  # dict eval_type -> FID when available
+        self.save_dir = save_dir  # per-image PNG dumps (reference
+        # eval_image_restoration.py:84-98) into save_dir/{hq,lq}/
+
+    def _maybe_save(self, etype, preds, fnames):
+        if self.save_dir is None or fnames is None:
+            return
+        import os
+
+        from PIL import Image
+        d = os.path.join(self.save_dir, etype)
+        os.makedirs(d, exist_ok=True)
+        for img, name in zip(preds, fnames):
+            arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"{name}.png"))
 
     def validation_step(self, batch):
         hq = batch.get("hq")
@@ -62,6 +77,7 @@ class ImageRestorationEvaluator:
         for etype, imgs in inputs.items():
             pred = np.asarray(self.restore_fn(imgs, "ir"), np.float32)
             pred = M.quantize_preds(pred)
+            self._maybe_save(etype, pred, batch.get("fname"))
             if hq is not None:
                 target = np.clip(hq, 0, 1).astype(np.float32)
                 mm = self.task_metric.metrics[etype]

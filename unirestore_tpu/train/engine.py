@@ -199,11 +199,15 @@ class Trainer:
         self.seed = seed
         self.mesh = make_mesh()
         self.logs = []
+        from .logging import MetricLogger
+        self.logger = MetricLogger(self.root, "train")
 
     def _log(self, step, logs):
         entry = {"step": step,
                  **{k: float(v) for k, v in logs.items()}}
         self.logs.append(entry)
+        self.logger.log_scalars(step, {k: v for k, v in entry.items()
+                                       if k != "step"})
         msg = " ".join(f"{k}={v:.4f}" for k, v in entry.items()
                        if k != "step")
         print(f"[step {step}] {msg}", flush=True)
