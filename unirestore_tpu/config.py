@@ -132,9 +132,13 @@ def build(cfg: dict, tiny: bool = False):
                 EV.ClassificationEvaluator(restore, {"r50v1": clf}),
                 EV.SemanticSegmentationEvaluator(restore, {"dlv3pr50": seg}))
         if etype == "det":
-            raise NotImplementedError(
-                "detection evaluation requires a converted detector "
-                "checkpoint (see tools/convert_torchvision.py)")
+            critics = eng.build_critics()
+            from .tasks import retinanet as RET
+            det = lambda imgs: RET.retinanet_detect(  # noqa: E731
+                critics["det"], imgs,
+                score_threshold=0.05)
+            return EV.DetectionEvaluator(restore, det,
+                                         iou_thresholds=(0.1,))
         raise KeyError(etype)
 
     return engine, trainer, data, evaluator_factory

@@ -1,0 +1,276 @@
+"""RetinaNet (ResNet-50 FPN) — frozen detection critic and eval detector.
+
+The reference uses torchvision RetinaNet/FasterRCNN ResNet50-FPN-v2 as the
+Stage-3 detection critic (loss = sum of the detector's internal loss dict,
+eval_detection.py:164-192) and as the mAP evaluation probe (:242-253).
+
+Functional NHWC port: FPN P3-P7 over resnet c3-c5, shared 4-conv heads with
+GroupNorm (v2 style), A=9 anchors per cell (3 scales x 3 ratios), focal
+classification loss + smooth-L1 box regression on padded/masked targets
+(static shapes under jit), and host-side decode + class-wise NMS for
+inference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn import layers as L
+from . import resnet as RN
+
+NUM_ANCHORS = 9
+LEVELS = (3, 4, 5, 6, 7)  # P3..P7, strides 8..128
+FOCAL_ALPHA = 0.25
+FOCAL_GAMMA = 2.0
+
+
+def retinanet_init(key, num_classes: int = 91, channels: int = 256):
+    ks = iter(jax.random.split(key, 64))
+    p = {"backbone": RN.resnet_init(next(ks), "resnet50")}
+    p["lateral"] = {f"c{i}": L.conv2d_init(next(ks), c, channels, 1)
+                    for i, c in ((3, 512), (4, 1024), (5, 2048))}
+    p["smooth"] = {f"p{i}": L.conv2d_init(next(ks), channels, channels, 3)
+                   for i in (3, 4, 5)}
+    p["p6"] = L.conv2d_init(next(ks), 2048, channels, 3)
+    p["p7"] = L.conv2d_init(next(ks), channels, channels, 3)
+
+    def head(ncout):
+        h = {"convs": [], "norms": []}
+        for _ in range(4):
+            h["convs"].append(L.conv2d_init(next(ks), channels, channels, 3))
+            h["norms"].append(L.norm_init(channels))
+        h["out"] = L.conv2d_init(next(ks), channels, ncout, 3)
+        return h
+
+    p["cls_head"] = head(NUM_ANCHORS * num_classes)
+    # focal-loss prior: background-biased classification bias init
+    prior = 0.01
+    p["cls_head"]["out"]["b"] = jnp.full_like(
+        p["cls_head"]["out"]["b"], -math.log((1 - prior) / prior))
+    p["box_head"] = head(NUM_ANCHORS * 4)
+    return p
+
+
+def _head_apply(h, x):
+    for conv, norm in zip(h["convs"], h["norms"]):
+        x = jax.nn.relu(L.group_norm(norm, L.conv2d(conv, x, padding=1),
+                                     groups=32))
+    return L.conv2d(h["out"], x, padding=1)
+
+
+def retinanet_features(p, images, preprocess_input: bool = True):
+    """Returns per-level (cls_logits, box_deltas) lists, P3..P7."""
+    x = images
+    if preprocess_input:
+        mean = jnp.asarray(RN.IMAGENET_MEAN, x.dtype)
+        std = jnp.asarray(RN.IMAGENET_STD, x.dtype)
+        x = (x - mean) / std
+    f = RN.resnet_features(p["backbone"], x)
+    p5 = L.conv2d(p["lateral"]["c5"], f["c5"], padding=0)
+    p4 = L.conv2d(p["lateral"]["c4"], f["c4"], padding=0) + \
+        L.upsample_nearest_2x(p5)
+    p3 = L.conv2d(p["lateral"]["c3"], f["c3"], padding=0) + \
+        L.upsample_nearest_2x(p4)
+    p3 = L.conv2d(p["smooth"]["p3"], p3, padding=1)
+    p4 = L.conv2d(p["smooth"]["p4"], p4, padding=1)
+    p5 = L.conv2d(p["smooth"]["p5"], p5, padding=1)
+    p6 = L.conv2d(p["p6"], f["c5"], stride=2, padding=1)
+    p7 = L.conv2d(p["p7"], jax.nn.relu(p6), stride=2, padding=1)
+    feats = [p3, p4, p5, p6, p7]
+    cls_out = [_head_apply(p["cls_head"], x) for x in feats]
+    box_out = [_head_apply(p["box_head"], x) for x in feats]
+    return cls_out, box_out
+
+
+def anchors_for_shape(h: int, w: int) -> np.ndarray:
+    """All anchors (N, 4) xyxy for an (h, w) input, P3..P7, torchvision
+    convention: sizes 32..512 * {1, 2^(1/3), 2^(2/3)}, ratios {0.5, 1, 2}."""
+    out = []
+    for lvl in LEVELS:
+        stride = 2 ** lvl
+        size = 4 * stride
+        fh, fw = math.ceil(h / stride), math.ceil(w / stride)
+        scales = [size * 2 ** (k / 3) for k in range(3)]
+        cy = (np.arange(fh) + 0.5) * stride
+        cx = (np.arange(fw) + 0.5) * stride
+        for s in scales:
+            for r in (0.5, 1.0, 2.0):
+                aw = s * math.sqrt(1.0 / r)
+                ah = s * math.sqrt(r)
+                yy, xx = np.meshgrid(cy, cx, indexing="ij")
+                out.append(np.stack([xx - aw / 2, yy - ah / 2,
+                                     xx + aw / 2, yy + ah / 2],
+                                    axis=-1).reshape(-1, 4))
+    return np.concatenate(out).astype(np.float32)
+
+
+def _flatten_outputs(cls_out, box_out, num_classes):
+    """(B, sum_l fh*fw*A, C) and (..., 4) matching anchors_for_shape order.
+
+    anchors_for_shape enumerates (scale, ratio) majors per level while the
+    head lays anchors innermost; reorder head outputs accordingly."""
+    cls_flat, box_flat = [], []
+    for c, b in zip(cls_out, box_out):
+        B, fh, fw, _ = c.shape
+        c = c.reshape(B, fh * fw, NUM_ANCHORS, num_classes)
+        b = b.reshape(B, fh * fw, NUM_ANCHORS, 4)
+        c = jnp.transpose(c, (0, 2, 1, 3)).reshape(B, -1, num_classes)
+        b = jnp.transpose(b, (0, 2, 1, 3)).reshape(B, -1, 4)
+        cls_flat.append(c)
+        box_flat.append(b)
+    return jnp.concatenate(cls_flat, 1), jnp.concatenate(box_flat, 1)
+
+
+def encode_boxes(anchors, boxes):
+    """xyxy gt -> (dx, dy, dw, dh) deltas relative to anchors."""
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax = anchors[:, 0] + aw / 2
+    ay = anchors[:, 1] + ah / 2
+    gw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1e-6)
+    gh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1e-6)
+    gx = boxes[:, 0] + gw / 2
+    gy = boxes[:, 1] + gh / 2
+    return jnp.stack([(gx - ax) / aw, (gy - ay) / ah,
+                      jnp.log(gw / aw), jnp.log(gh / ah)], axis=-1)
+
+
+def decode_boxes(anchors, deltas):
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax = anchors[:, 0] + aw / 2
+    ay = anchors[:, 1] + ah / 2
+    cx = deltas[:, 0] * aw + ax
+    cy = deltas[:, 1] * ah + ay
+    w = jnp.exp(jnp.clip(deltas[:, 2], -10, 4)) * aw
+    h = jnp.exp(jnp.clip(deltas[:, 3], -10, 4)) * ah
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                     axis=-1)
+
+
+def _pairwise_iou(a, b):
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(
+        a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(
+        b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(area_a[:, None] + area_b[None] - inter, 1e-9)
+
+
+def retinanet_loss(p, images, gt_boxes, gt_labels, gt_mask,
+                   num_classes: int = 91):
+    """Training loss on padded targets.
+
+    gt_boxes: (B, M, 4) xyxy; gt_labels: (B, M) int; gt_mask: (B, M) bool.
+    Matching: IoU >= 0.5 positive, < 0.4 background, else ignored
+    (torchvision RetinaNet thresholds). Returns scalar loss.
+    """
+    h, w = images.shape[1:3]
+    cls_out, box_out = retinanet_features(p, images)
+    cls_logits, box_deltas = _flatten_outputs(cls_out, box_out, num_classes)
+    anchors = jnp.asarray(anchors_for_shape(h, w))
+
+    def per_image(logits, deltas, boxes, labels, mask):
+        iou = _pairwise_iou(anchors, boxes)  # (N, M)
+        iou = jnp.where(mask[None, :], iou, -1.0)
+        best = jnp.max(iou, axis=1)
+        best_idx = jnp.argmax(iou, axis=1)
+        pos = best >= 0.5
+        ignore = (best >= 0.4) & ~pos
+
+        tgt_cls = jnp.zeros((anchors.shape[0], num_classes))
+        matched_lab = labels[best_idx]
+        tgt_cls = jnp.where(
+            pos[:, None],
+            jax.nn.one_hot(matched_lab, num_classes), tgt_cls)
+        p_sig = jax.nn.sigmoid(logits.astype(jnp.float32))
+        ce = -(tgt_cls * jnp.log(p_sig + 1e-8)
+               + (1 - tgt_cls) * jnp.log(1 - p_sig + 1e-8))
+        p_t = tgt_cls * p_sig + (1 - tgt_cls) * (1 - p_sig)
+        alpha_t = tgt_cls * FOCAL_ALPHA + (1 - tgt_cls) * (1 - FOCAL_ALPHA)
+        focal = alpha_t * (1 - p_t) ** FOCAL_GAMMA * ce
+        focal = jnp.where(ignore[:, None], 0.0, focal)
+        n_pos = jnp.maximum(pos.sum(), 1)
+        cls_loss = focal.sum() / n_pos
+
+        tgt_deltas = encode_boxes(anchors, boxes[best_idx])
+        l1 = jnp.abs(deltas.astype(jnp.float32) - tgt_deltas)
+        box_loss = jnp.where(pos[:, None], l1, 0.0).sum() / n_pos / 4.0
+        return cls_loss + box_loss
+
+    losses = jax.vmap(per_image)(cls_logits, box_deltas, gt_boxes, gt_labels,
+                                 gt_mask)
+    return losses.mean()
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_thr: float = 0.5,
+        max_det: int = 100) -> np.ndarray:
+    """Greedy NMS (host-side); returns kept indices."""
+    order = np.argsort(-scores)
+    keep = []
+    while order.size and len(keep) < max_det:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        from ..evalx.metrics import box_iou
+        ious = box_iou(boxes[i][None], boxes[rest])[0]
+        order = rest[ious <= iou_thr]
+    return np.asarray(keep, np.int64)
+
+
+def retinanet_detect(p, images, num_classes: int = 91,
+                     score_threshold: float = 0.05, nms_thr: float = 0.5,
+                     max_det: int = 100):
+    """Inference: list of {boxes, scores, labels} per image (host-side
+    decode + class-wise NMS)."""
+    h, w = images.shape[1:3]
+    cls_out, box_out = retinanet_features(p, jnp.asarray(images))
+    cls_logits, box_deltas = _flatten_outputs(cls_out, box_out, num_classes)
+    anchors = jnp.asarray(anchors_for_shape(h, w))
+    probs = np.asarray(jax.nn.sigmoid(cls_logits.astype(jnp.float32)))
+    boxes_all = np.asarray(jax.vmap(lambda d: decode_boxes(anchors, d))(
+        box_deltas.astype(jnp.float32)))
+    results = []
+    for b in range(images.shape[0]):
+        pb, bb = probs[b], boxes_all[b]
+        scores = pb.max(axis=1)
+        labels = pb.argmax(axis=1)
+        sel = scores > score_threshold
+        bx, sc, lb = bb[sel], scores[sel], labels[sel]
+        bx[:, 0::2] = np.clip(bx[:, 0::2], 0, w)
+        bx[:, 1::2] = np.clip(bx[:, 1::2], 0, h)
+        keep_all = []
+        for c in np.unique(lb):
+            idx = np.where(lb == c)[0]
+            keep = nms(bx[idx], sc[idx], nms_thr, max_det)
+            keep_all.extend(idx[keep].tolist())
+        keep_all = np.asarray(keep_all, np.int64)
+        if keep_all.size:
+            order = np.argsort(-sc[keep_all])[:max_det]
+            keep_all = keep_all[order]
+        results.append({"boxes": bx[keep_all], "scores": sc[keep_all],
+                        "labels": lb[keep_all]})
+    return results
+
+
+def pad_targets(gts: list[dict], max_boxes: int = 64):
+    """Ragged target dicts -> padded (boxes, labels, mask) arrays."""
+    B = len(gts)
+    boxes = np.zeros((B, max_boxes, 4), np.float32)
+    labels = np.zeros((B, max_boxes), np.int64)
+    mask = np.zeros((B, max_boxes), bool)
+    for i, g in enumerate(gts):
+        n = min(len(g["labels"]), max_boxes)
+        boxes[i, :n] = np.asarray(g["boxes"], np.float32)[:n]
+        labels[i, :n] = np.asarray(g["labels"], np.int64)[:n]
+        mask[i, :n] = True
+    return boxes, labels, mask

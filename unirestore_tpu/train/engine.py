@@ -127,6 +127,11 @@ class UniFIEEngine:
             p = DLB.deeplabv3plus_init(jax.random.PRNGKey(8))
             p, _ = zoo.load_npz_tree("deeplabv3plus_resnet50", p)
             critics["seg"] = p
+        if self.engine_type == "det":
+            from ..tasks import retinanet as RET
+            p = RET.retinanet_init(jax.random.PRNGKey(9))
+            p, _ = zoo.load_npz_tree("retinanet_resnet50", p)
+            critics["det"] = p
         return critics
 
     def te_loss_fn(self, critics):
@@ -153,6 +158,13 @@ class UniFIEEngine:
             if etype == "seg":
                 logits = DLB.deeplabv3plus_apply(critics["seg"], p32)
                 return DLB.seg_cross_entropy_loss(logits, gt)
+            if etype == "det":
+                # gt is the padded dict {"boxes", "labels", "mask"}
+                # (DetectionLoss: sum of detector loss terms,
+                # eval_detection.py:164-192)
+                from ..tasks import retinanet as RET
+                return RET.retinanet_loss(critics["det"], p32, gt["boxes"],
+                                          gt["labels"], gt["mask"])
             raise KeyError(etype)
 
         return fn
@@ -252,9 +264,14 @@ class Trainer:
                 batch = next(it)
             task = batch.pop("task")
             batch.pop("fname", None)
+            if task == "det" and isinstance(batch.get("gt"), list):
+                from ..tasks.retinanet import pad_targets
+                boxes, labels, mask = pad_targets(batch.pop("gt"))
+                batch["gt"] = {"boxes": boxes, "labels": labels,
+                               "mask": mask}
             dev_batch = shard_batch(self.mesh, {
                 k: v for k, v in batch.items()
-                if isinstance(v, np.ndarray)})
+                if isinstance(v, (np.ndarray, dict))})
             rng, sub = jax.random.split(rng)
             trainable, opt_state, logs = get_step(task)(
                 trainable, opt_state, dev_batch, sub)
