@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMGS_PER_SEC = 8.0  # BASELINE.md north-star target per chip
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 STEPS = int(os.environ.get("BENCH_DDIM_STEPS", "20"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 

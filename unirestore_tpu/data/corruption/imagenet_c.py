@@ -25,6 +25,13 @@ import cv2
 import numpy as np
 from PIL import Image
 
+from . import native as _native
+
+# native C++ fast path for the pure-python hot spots (fog fractal, glass
+# shuffle, impulse); disable with UNIRESTORE_NATIVE=0
+_USE_NATIVE = (os.environ.get("UNIRESTORE_NATIVE", "1") != "0"
+               and _native.available())
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -169,6 +176,8 @@ def shot_noise(img, severity):
 def impulse_noise(img, severity):
     c = [0.03, 0.06, 0.09, 0.17, 0.27][severity - 1]
     x = _to_float(img).copy()
+    if _USE_NATIVE:
+        return _native.impulse_noise(x, c, np.random.randint(2 ** 31))
     mask = np.random.uniform(size=x.shape)
     x[mask < c / 2] = 0.0
     x[mask > 1 - c / 2] = 1.0
@@ -191,12 +200,16 @@ def glass_blur(img, severity):
                                (1.1, 3, 2), (1.5, 4, 2)][severity - 1]
     x = _gaussian_blur(_to_float(img), sigma)
     h, w = x.shape[:2]
-    for _ in range(iters):
-        dx = np.random.randint(-max_delta, max_delta + 1, (h, w))
-        dy = np.random.randint(-max_delta, max_delta + 1, (h, w))
-        yy = np.clip(np.arange(h)[:, None] + dy, 0, h - 1)
-        xx = np.clip(np.arange(w)[None, :] + dx, 0, w - 1)
-        x = x[yy, xx]
+    if _USE_NATIVE:
+        x = _native.glass_shuffle(x, max_delta, iters,
+                                  np.random.randint(2 ** 31))
+    else:
+        for _ in range(iters):
+            dx = np.random.randint(-max_delta, max_delta + 1, (h, w))
+            dy = np.random.randint(-max_delta, max_delta + 1, (h, w))
+            yy = np.clip(np.arange(h)[:, None] + dy, 0, h - 1)
+            xx = np.clip(np.arange(w)[None, :] + dx, 0, w - 1)
+            x = x[yy, xx]
     return _gaussian_blur(x, sigma)
 
 
@@ -237,7 +250,11 @@ def fog(img, severity):
     x = _to_float(img)
     h, w = x.shape[:2]
     mapsize = _next_pow2(max(h, w, 32))
-    plasma = _plasma_fractal(mapsize, wibbledecay=decay)[:h, :w]
+    if _USE_NATIVE:
+        plasma = _native.plasma_fractal(mapsize, decay,
+                                        np.random.randint(2 ** 31))[:h, :w]
+    else:
+        plasma = _plasma_fractal(mapsize, wibbledecay=decay)[:h, :w]
     maxval = x.max()
     x = x + c * plasma[..., None].astype(np.float32)
     return x * maxval / (maxval + c)

@@ -34,6 +34,19 @@ def mha_init(key, query_dim: int, heads: int, dim_head: int,
     }
 
 
+_FLASH_MIN_SEQ = 1024
+
+
+def _use_flash(t: int, s: int, dim_head: int) -> bool:
+    """Route long spatial self-attention through the Pallas TPU flash
+    kernel; small sequences and 77-token cross-attention stay on the XLA
+    path (cheap, and flash needs block-aligned kv lengths)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return (t == s and t >= _FLASH_MIN_SEQ and t % 512 == 0
+            and dim_head <= 256)
+
+
 def mha(p, x, context=None, heads: int = 8):
     """Multi-head attention over (B, T, C) with optional (B, S, Cctx) context."""
     ctx = x if context is None else context
@@ -46,7 +59,16 @@ def mha(p, x, context=None, heads: int = 8):
     q = q.reshape(b, t, heads, dim_head)
     k = k.reshape(b, s, heads, dim_head)
     v = v.reshape(b, s, heads, dim_head)
-    o = jax.nn.dot_product_attention(q, k, v)
+    if _use_flash(t, s, dim_head):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention)
+        o = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), causal=False,
+            sm_scale=float(dim_head) ** -0.5)
+        o = o.transpose(0, 2, 1, 3)
+    else:
+        o = jax.nn.dot_product_attention(q, k, v)
     o = o.reshape(b, t, inner)
     return L.linear(p["to_out"], o)
 
