@@ -114,10 +114,56 @@ def convert_deeplab(sd: dict) -> dict:
     return out
 
 
+def convert_inception(sd: dict) -> dict:
+    """torchvision inception_v3 -> evalx.inception tree (FID features)."""
+    out = {}
+
+    def cbn(ours, theirs):
+        out[f"{ours}{SEP}conv{SEP}w"] = conv_w(sd[f"{theirs}.conv.weight"])
+        _bn(out, f"{ours}{SEP}bn", f"{theirs}.bn", sd)
+
+    for i, t in enumerate(("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+                           "Conv2d_3b_1x1", "Conv2d_4a_3x3")):
+        cbn(f"stem{SEP}{i}", t)
+    for i, t in enumerate(("Mixed_5b", "Mixed_5c", "Mixed_5d")):
+        for o, b in (("b1x1", "branch1x1"), ("b5_1", "branch5x5_1"),
+                     ("b5_2", "branch5x5_2"), ("b3_1", "branch3x3dbl_1"),
+                     ("b3_2", "branch3x3dbl_2"), ("b3_3", "branch3x3dbl_3"),
+                     ("bp", "branch_pool")):
+            cbn(f"a{SEP}{i}{SEP}{o}", f"{t}.{b}")
+    for o, b in (("b3", "branch3x3"), ("d3_1", "branch3x3dbl_1"),
+                 ("d3_2", "branch3x3dbl_2"), ("d3_3", "branch3x3dbl_3")):
+        cbn(f"b{SEP}{o}", f"Mixed_6a.{b}")
+    for i, t in enumerate(("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e")):
+        for o, b in (("b1x1", "branch1x1"), ("b7_1", "branch7x7_1"),
+                     ("b7_2", "branch7x7_2"), ("b7_3", "branch7x7_3"),
+                     ("b7d_1", "branch7x7dbl_1"), ("b7d_2", "branch7x7dbl_2"),
+                     ("b7d_3", "branch7x7dbl_3"), ("b7d_4", "branch7x7dbl_4"),
+                     ("b7d_5", "branch7x7dbl_5"), ("bp", "branch_pool")):
+            cbn(f"c{SEP}{i}{SEP}{o}", f"{t}.{b}")
+    for o, b in (("b3_1", "branch3x3_1"), ("b3_2", "branch3x3_2"),
+                 ("b7_1", "branch7x7x3_1"), ("b7_2", "branch7x7x3_2"),
+                 ("b7_3", "branch7x7x3_3"), ("b7_4", "branch7x7x3_4")):
+        cbn(f"d{SEP}{o}", f"Mixed_7a.{b}")
+    for i, t in enumerate(("Mixed_7b", "Mixed_7c")):
+        for o, b in (("b1x1", "branch1x1"), ("b3_1", "branch3x3_1"),
+                     ("b3_2a", "branch3x3_2a"), ("b3_2b", "branch3x3_2b"),
+                     ("bd_1", "branch3x3dbl_1"), ("bd_2", "branch3x3dbl_2"),
+                     ("bd_3a", "branch3x3dbl_3a"),
+                     ("bd_3b", "branch3x3dbl_3b"), ("bp", "branch_pool")):
+            cbn(f"e{SEP}{i}{SEP}{o}", f"{t}.{b}")
+    return out
+
+
 def main():
     kind = sys.argv[1]
     dst = "./weights"
     os.makedirs(dst, exist_ok=True)
+    if kind == "inception":
+        out = convert_inception(_sd(sys.argv[2]))
+        np.savez(os.path.join(dst, "inception_v3.npz"), **out)
+        print(f"wrote inception_v3.npz ({len(out)} tensors)")
+        return
     if kind in BLOCKS:
         out = convert_resnet(_sd(sys.argv[2]), kind)
         name = f"{kind}_v1"

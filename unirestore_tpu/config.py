@@ -98,9 +98,18 @@ def build(cfg: dict, tiny: bool = False):
             import os
             save_dir = os.path.join(root, "dumps") \
                 if m.get("save_image") else None
+            fid = None
+            if m.get("compute_fid"):
+                from .evalx.fid import FID
+                from .evalx.inception import make_fid_extractor
+                extractor, dim = make_fid_extractor()
+                fid = {t: FID(extractor, dim) for t in
+                       (["lq"] if m.get("eval_mode") == "NR"
+                        else ["hq", "lq"])}
             return EV.ImageRestorationEvaluator(
                 restore, eval_mode=m.get("eval_mode", "FR"),
-                need_crop=m.get("need_crop", True), save_dir=save_dir)
+                need_crop=m.get("need_crop", True), save_dir=save_dir,
+                fid=fid)
         if etype == "cls":
             critics = eng.build_critics()
             from .tasks import resnet as RN
