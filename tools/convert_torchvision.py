@@ -62,7 +62,8 @@ def convert_resnet(sd: dict, arch: str = "resnet50", prefix: str = "",
         for j in range(n):
             t = f"{prefix}layer{i + 1}.{j}"
             o = P(f"layers{SEP}{i}{SEP}{j}")
-            for c in (1, 2, 3):
+            convs = (1, 2, 3) if arch != "resnet18" else (1, 2)
+            for c in convs:
                 out[f"{o}{SEP}conv{c}{SEP}conv{SEP}w"] = conv_w(
                     sd[f"{t}.conv{c}.weight"])
                 _bn(out, f"{o}{SEP}conv{c}{SEP}bn", f"{t}.bn{c}", sd)

@@ -111,12 +111,15 @@ def build(cfg: dict, tiny: bool = False):
                 need_crop=m.get("need_crop", True), save_dir=save_dir,
                 fid=fid)
         if etype == "cls":
-            critics = eng.build_critics()
-            from .tasks import resnet as RN
-            import jax
+            from .tasks import classifier_zoo as CZ
 
-            clf = jax.jit(lambda imgs: RN.resnet_apply(critics["cls"], imgs))
-            return EV.ClassificationEvaluator(restore, {"r50v1": clf})
+            # cls eval_mode selects the probe set (single/all/all_ft/CUB/
+            # bare, eval_classification.py:36-48); monitor per :93-102.
+            mode = m.get("eval_mode", "single")
+            zoo = CZ.build_classifier_zoo(mode)
+            monitor = {"all_ft": "r50v1_ft", "CUB": "cub_r50"}.get(
+                mode, "r50v1" if zoo else None)
+            return EV.ClassificationEvaluator(restore, zoo, monitor=monitor)
         if etype == "seg":
             critics = eng.build_critics()
             from .tasks import deeplab as DLB

@@ -104,10 +104,18 @@ class ImageRestorationEvaluator:
 
 
 class ClassificationEvaluator:
-    def __init__(self, restore_fn, classifiers: dict):
-        """``classifiers``: name -> fn(images_nhwc01) -> logits numpy."""
+    def __init__(self, restore_fn, classifiers: dict,
+                 monitor: str | None = None):
+        """``classifiers``: name -> fn(images_nhwc01) -> logits numpy.
+
+        ``monitor`` picks the val_monitor probe (reference default:
+        val_lq/r50v1; all_ft -> r50v1_ft; CUB -> cub_r50;
+        eval_classification.py:93-102).
+        """
         self.restore_fn = restore_fn
         self.classifiers = classifiers
+        self.monitor = monitor or (next(iter(classifiers))
+                                   if classifiers else None)
         self.eval_types = ["hq", "lq"]
         self.task_metric = TaskMetric(self.eval_types)
         for name in classifiers:
@@ -121,15 +129,16 @@ class ClassificationEvaluator:
                 continue
             imgs = center_crop(imgs, 960, 1664)
             pred = np.asarray(self.restore_fn(imgs, "cls"), np.float32)
-            pred = np.clip(pred, 0, 1)
+            # uint8-rounded floats before probing (eval_classification.py:67)
+            pred = M.quantize_preds(pred)
             for name, clf in self.classifiers.items():
                 logits = np.asarray(clf(pred))
                 self.task_metric.metrics[etype][name].update(logits, labels)
 
     def epoch_end(self, prefix: str = "val"):
         out = self.task_metric.compute_metrics(prefix)
-        first = next(iter(self.classifiers))
-        out["val_monitor"] = out.get(f"{prefix}_lq/{first}", 0.0)
+        if self.monitor is not None:
+            out["val_monitor"] = out.get(f"{prefix}_lq/{self.monitor}", 0.0)
         self.task_metric.reset_metrics()
         return out
 

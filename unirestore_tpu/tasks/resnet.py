@@ -67,21 +67,35 @@ def _bottleneck_init(key, cin, width, cout, stride):
     return p
 
 
+def _basic_init(key, cin, cout, stride):
+    ks = jax.random.split(key, 3)
+    p = {
+        "conv1": _conv_bn_init(ks[0], cin, cout, 3, stride),
+        "conv2": _conv_bn_init(ks[1], cout, cout, 3),
+    }
+    if stride != 1 or cin != cout:
+        p["downsample"] = _conv_bn_init(ks[2], cin, cout, 1, stride)
+    return p
+
+
 def resnet_init(key, arch: str = "resnet50", num_classes: int = 1000):
-    assert BOTTLENECK[arch], "only bottleneck archs implemented"
     blocks = BLOCKS[arch]
+    bottleneck = BOTTLENECK[arch]
     keys = iter(jax.random.split(key, 64))
     p = {"stem": _conv_bn_init(next(keys), 3, 64, 7)}
     cin = 64
     layers = []
     for i, n in enumerate(blocks):
         width = 64 * (2 ** i)
-        cout = width * 4
+        cout = width * 4 if bottleneck else width
         stage = []
         for j in range(n):
             stride = 2 if (i > 0 and j == 0) else 1
-            stage.append(_bottleneck_init(next(keys), cin, width, cout,
-                                          stride))
+            if bottleneck:
+                stage.append(_bottleneck_init(next(keys), cin, width, cout,
+                                              stride))
+            else:
+                stage.append(_basic_init(next(keys), cin, cout, stride))
             cin = cout
         layers.append(stage)
     p["layers"] = layers
@@ -97,10 +111,15 @@ def _conv_bn(p, x, stride=1, padding="SAME", dilation=1):
 
 def _bottleneck(p, x, stride, dilation=1):
     identity = x
-    h = jax.nn.relu(_conv_bn(p["conv1"], x))
-    h = jax.nn.relu(_conv_bn(p["conv2"], h, stride=stride, padding=dilation,
-                             dilation=dilation))
-    h = _conv_bn(p["conv3"], h)
+    if "conv3" not in p:  # BasicBlock (resnet18/34)
+        h = jax.nn.relu(_conv_bn(p["conv1"], x, stride=stride,
+                                 padding=dilation, dilation=dilation))
+        h = _conv_bn(p["conv2"], h, padding=dilation, dilation=dilation)
+    else:
+        h = jax.nn.relu(_conv_bn(p["conv1"], x))
+        h = jax.nn.relu(_conv_bn(p["conv2"], h, stride=stride,
+                                 padding=dilation, dilation=dilation))
+        h = _conv_bn(p["conv3"], h)
     if "downsample" in p:
         identity = _conv_bn(p["downsample"], x, stride=stride, padding=0)
     return jax.nn.relu(identity + h)
