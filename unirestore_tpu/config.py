@@ -87,6 +87,7 @@ def build(cfg: dict, tiny: bool = False):
         default_root_dir=root,
         limit_val_batches=t.get("limit_val_batches"),
         seed=cfg.get("seed_everything", 42),
+        profiler=t.get("profiler"),
     )
 
     d = cfg.get("data", {}).get("init_args", {})

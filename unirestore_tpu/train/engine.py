@@ -199,7 +199,8 @@ class Trainer:
                  log_every_n_steps: int = 25, accumulate_grad_batches: int = 1,
                  default_root_dir: str = "logs", save_top_k: int = 5,
                  monitor_mode: str = "max", num_sanity_val_steps: int = 0,
-                 limit_val_batches: int | None = None, seed: int = 42):
+                 limit_val_batches: int | None = None, seed: int = 42,
+                 profiler: str | None = None):
         self.max_steps = max_steps
         self.val_check_interval = val_check_interval
         self.log_every = log_every_n_steps
@@ -209,6 +210,7 @@ class Trainer:
         self.monitor_mode = monitor_mode
         self.limit_val_batches = limit_val_batches
         self.seed = seed
+        self.profiler = profiler  # logdir for a jax device trace, or None
         self.mesh = make_mesh()
         self.logs = []
         from .logging import MetricLogger
@@ -252,11 +254,18 @@ class Trainer:
 
         mgr = CKPT.CheckpointManager(os.path.join(self.root, "checkpoints"),
                                      self.save_top_k, self.monitor_mode)
+        from .profiling import StepTimer
+        timer = StepTimer(warmup=1)
+        trace_window = None  # (start, stop) steps for the device trace
+        if self.profiler:
+            trace_window = (2, min(6, self.max_steps))
         rng = jax.random.PRNGKey(self.seed)
         step = 0
         t0 = time.time()
         it = iter(train_loader)
         while step < self.max_steps:
+            if trace_window and step + 1 == trace_window[0]:
+                jax.profiler.start_trace(self.profiler)
             try:
                 batch = next(it)
             except StopIteration:
@@ -273,9 +282,15 @@ class Trainer:
                 k: v for k, v in batch.items()
                 if isinstance(v, (np.ndarray, dict))})
             rng, sub = jax.random.split(rng)
-            trainable, opt_state, logs = get_step(task)(
-                trainable, opt_state, dev_batch, sub)
+            with timer:
+                trainable, opt_state, logs = get_step(task)(
+                    trainable, opt_state, dev_batch, sub)
+                jax.block_until_ready(logs) if self.profiler else None
             step += 1
+            if trace_window and step == trace_window[1]:
+                jax.profiler.stop_trace()
+                trace_window = None
+                print(f"[profiler] device trace written to {self.profiler}")
             if step % self.log_every == 0 or step == 1:
                 logs = {k: float(v) for k, v in logs.items()}
                 logs["imgs_per_sec"] = batch_size * self.log_every / max(
@@ -291,6 +306,11 @@ class Trainer:
         engine.trainable = jax.tree.map(np.asarray, trainable)
         final = os.path.join(self.root, "checkpoints", "last.npz")
         CKPT.save_checkpoint(final, engine.trainable, step)
+        ts = timer.summary()
+        if ts:
+            print(f"[timing] steps={ts['steps']} mean={ts['mean_s']:.3f}s "
+                  f"p50={ts['p50_s']:.3f}s p90={ts['p90_s']:.3f}s "
+                  f"({batch_size / ts['p50_s']:.2f} imgs/s)")
         print(f"[fit] done at step {step}; saved {final}")
         return engine
 
