@@ -1,0 +1,200 @@
+"""No-reference IQA suite: forward shapes/ranges, converter key coverage,
+suite construction, PI composition, evaluator integration."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unirestore_tpu.evalx import clipiqa as CIQ
+from unirestore_tpu.evalx import hyperiqa as HIQ
+from unirestore_tpu.evalx import maniqa as MAN
+from unirestore_tpu.evalx import musiq as MUS
+from unirestore_tpu.evalx import nima as NIM
+from unirestore_tpu.evalx import nr_suite as NRS
+from unirestore_tpu.train.checkpoints import tree_flatten_dict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+import convert_iqa as CI  # noqa: E402
+
+
+def test_clipiqa_score_range():
+    p = CIQ.clip_rn50_init(jax.random.PRNGKey(0))
+    imgs = jnp.ones((2, 64, 80, 3)) * 0.4
+    s = CIQ.clipiqa_score(p, imgs)
+    assert s.shape == (2,)
+    assert np.all((np.asarray(s) >= 0) & (np.asarray(s) <= 1))
+
+
+def test_nima_score_distribution():
+    p = NIM.inception_resnet_v2_init(jax.random.PRNGKey(0), num_classes=10)
+    imgs = jnp.ones((1, 64, 64, 3)) * 0.4
+    s = NIM.nima_score(p, imgs, num_classes=10)
+    assert s.shape == (1,)
+    assert 1.0 <= float(s[0]) <= 10.0
+
+
+def test_hyperiqa_forward():
+    p = HIQ.hyperiqa_init(jax.random.PRNGKey(0))
+    imgs = jnp.ones((2, 48, 48, 3)) * 0.4
+    s = HIQ.hyperiqa_score(p, imgs)
+    assert s.shape == (2,)
+    assert np.isfinite(np.asarray(s)).all()
+
+
+def test_maniqa_forward():
+    p = MAN.maniqa_init(jax.random.PRNGKey(0))
+    imgs = jnp.ones((1, 48, 48, 3)) * 0.4
+    s = MAN.maniqa_score(p, imgs)
+    assert s.shape == (1,)
+    assert np.isfinite(np.asarray(s)).all()
+
+
+def test_musiq_forward_and_ava():
+    p = MUS.musiq_init(jax.random.PRNGKey(0), num_classes=1)
+    imgs = jnp.ones((1, 96, 128, 3)) * 0.4  # non-square exercises ARP
+    s = MUS.musiq_score(p, imgs, num_classes=1)
+    assert s.shape == (1,)
+    p10 = MUS.musiq_init(jax.random.PRNGKey(0), num_classes=10)
+    s10 = MUS.musiq_score(p10, imgs, num_classes=10)
+    assert 1.0 <= float(s10[0]) <= 10.0
+
+
+def test_build_nr_suite_neural_only():
+    names = ["clipiqa", "hyperiqa"]
+    suite = NRS.build_nr_suite(names)
+    assert set(suite) == set(names)
+    imgs = np.full((1, 48, 48, 3), 0.5, np.float32)
+    for m in suite.values():
+        m.update(imgs)
+        assert np.isfinite(m.compute())
+        m.reset()
+        assert m.count == 0 if hasattr(m, "count") else True
+
+
+def test_pi_metric_formula():
+    class FakeNiqe:
+        def update(self, x):
+            pass
+
+        def compute(self):
+            return 4.0
+
+        def reset(self):
+            pass
+
+    pi = NRS.PIMetric(FakeNiqe(), nrqm_const=6.0)
+    # 0.5 * ((10 - 6) + 4) = 4.0
+    assert pi.compute() == pytest.approx(4.0)
+
+
+def test_nr_suite_skips_niqe_without_pristine_model(tmp_path, monkeypatch):
+    monkeypatch.setenv("UNIRESTORE_WEIGHTS", str(tmp_path))
+    suite = NRS.build_nr_suite(["niqe", "pi"])
+    assert suite == {}
+
+
+def test_evaluator_nr_mode():
+    from unirestore_tpu.evalx.evaluators import ImageRestorationEvaluator
+
+    class CheapNR:
+        def __init__(self):
+            self.v = []
+
+        def update(self, imgs):
+            self.v.extend(np.asarray(imgs).mean(axis=(1, 2, 3)).tolist())
+
+        def compute(self):
+            return float(np.mean(self.v))
+
+        def reset(self):
+            self.v = []
+
+    ev = ImageRestorationEvaluator(
+        lambda imgs, task: imgs, eval_mode="NR",
+        nr_metrics={"cheap": CheapNR()})
+    batch = {"lq": np.full((2, 16, 16, 3), 0.5, np.float32),
+             "fname": ["a", "b"]}
+    ev.validation_step(batch)
+    out = ev.epoch_end()
+    assert "val_lq/cheap" in out
+    assert out["val_lq/cheap"] == pytest.approx(0.5, abs=1e-2)
+    # NR mode computes no PSNR and monitors NIQE (0 when absent)
+    assert "val_lq/psnr" not in out
+
+
+# ---------------------------------------------------------------------------
+# converter key coverage
+# ---------------------------------------------------------------------------
+
+
+def _fake(rule):
+    class D(dict):
+        def __contains__(self, k):
+            return True
+
+        def __getitem__(self, k):
+            return np.zeros(rule(k), np.float32)
+
+    return D()
+
+
+def _check(tree, out, optional=(), ignore_ours=()):
+    ours = set(tree_flatten_dict(tree).keys())
+    ours = {k for k in ours if not any(p in k for p in ignore_ours)}
+    theirs = set(out.keys())
+    missing = ours - theirs
+    extra = [k for k in theirs - ours if not any(p in k for p in optional)]
+    assert not missing, f"converter misses {sorted(missing)[:10]}"
+    assert not extra, f"converter emits unknown {sorted(extra)[:10]}"
+
+
+def test_convert_clipiqa_covers_tree():
+    tree = CIQ.clip_rn50_init(jax.random.PRNGKey(0))
+
+    def rule(k):
+        if k.endswith("downsample.0.weight") or ("conv" in k
+                                                 and k.endswith("weight")):
+            return (2, 2, 3, 3)
+        if "positional_embedding" in k or "text_features" in k:
+            return (2, 2)
+        if "proj" in k and k.endswith("weight"):
+            return (2, 2)
+        return (2,)
+
+    out = CI.convert_clipiqa(_fake(rule), text_features=np.zeros((2, 4)))
+    # FakeSD claims every downsample exists; real ckpts only at transitions
+    _check(tree, out, optional=("down",))
+
+
+def test_convert_nima_covers_tree():
+    tree = NIM.inception_resnet_v2_init(jax.random.PRNGKey(0),
+                                        num_classes=1)
+
+    def rule(k):
+        if k.endswith("conv.weight") or k.endswith("conv2d.weight"):
+            return (2, 2, 3, 3)
+        if "classifier.2" in k:
+            return (2, 2) if k.endswith("weight") else (2,)
+        return (2,)
+
+    _check(tree, CI.convert_nima(_fake(rule)))
+
+
+def test_convert_hyperiqa_covers_tree():
+    tree = HIQ.hyperiqa_init(jax.random.PRNGKey(0))
+
+    def rule(k):
+        if "fc" in k and "conv" not in k:
+            return (2, 2) if k.endswith("weight") else (2,)
+        if k.endswith(".weight") and ("conv" in k or "pool.0" in k
+                                      or k.endswith("downsample.0.weight")):
+            return (2, 2, 3, 3)
+        return (2,)
+
+    out = CI.convert_hyperiqa(_fake(rule))
+    _check(tree, out, optional=("downsample",),
+           ignore_ours=(f"backbone//fc",))

@@ -107,10 +107,14 @@ def build(cfg: dict, tiny: bool = False):
                 fid = {t: FID(extractor, dim) for t in
                        (["lq"] if m.get("eval_mode") == "NR"
                         else ["hq", "lq"])}
+            nr = None
+            if m.get("eval_mode") in ("NR", "ALL"):
+                from .evalx.nr_suite import build_nr_suite
+                nr = build_nr_suite(m.get("nr_metrics"))
             return EV.ImageRestorationEvaluator(
                 restore, eval_mode=m.get("eval_mode", "FR"),
                 need_crop=m.get("need_crop", True), save_dir=save_dir,
-                fid=fid)
+                fid=fid, nr_metrics=nr)
         if etype == "cls":
             from .tasks import classifier_zoo as CZ
 

@@ -24,6 +24,19 @@ from . import metrics as M
 from .task_metric import TaskMetric
 
 
+def _clone_metric(m):
+    """Fresh-state copy sharing any underlying (jitted) network — the
+    NetworkSharedMultioutputWrapper semantics (task.py:30-60)."""
+    import copy
+    c = copy.copy(m)
+    if hasattr(c, "niqe"):  # PIMetric: clone inner state too
+        c.niqe = copy.copy(c.niqe)
+        c.niqe.reset()
+    if hasattr(c, "reset"):
+        c.reset()
+    return c
+
+
 def center_crop(img: np.ndarray, upper_h: int, upper_w: int) -> np.ndarray:
     """(B, H, W, C) center crop to at most (upper_h, upper_w)
     (eval_image_restoration.py:113-136)."""
@@ -36,18 +49,29 @@ def center_crop(img: np.ndarray, upper_h: int, upper_w: int) -> np.ndarray:
 class ImageRestorationEvaluator:
     def __init__(self, restore_fn, eval_mode: str = "FR",
                  need_crop: bool = True, lpips_fn=None, fid=None,
-                 save_dir: str | None = None):
+                 save_dir: str | None = None, nr_metrics: dict | None = None):
+        """``nr_metrics``: name -> MeanMetric-style NR scorer (the pyiqa
+        set, eval_image_restoration.py:190-203) applied to the restored
+        prediction per eval_type; built by evalx.nr_suite.build_nr_suite.
+        """
         self.restore_fn = restore_fn
         self.eval_mode = eval_mode
         self.need_crop = need_crop
         self.eval_types = ["lq"] if eval_mode == "NR" else ["hq", "lq"]
         self.task_metric = TaskMetric(self.eval_types)
-        self.task_metric.add_metric("psnr", M.MeanMetric)
-        self.task_metric.add_metric("ssim", M.MeanMetric)
+        if eval_mode in ("FR", "ALL"):
+            self.task_metric.add_metric("psnr", M.MeanMetric)
+            self.task_metric.add_metric("ssim", M.MeanMetric)
         self.lpips_fn = lpips_fn
         if lpips_fn is not None:
             self.task_metric.add_metric("lpips", M.MeanMetric)
         self.fid = fid  # dict eval_type -> FID when available
+        self.nr = {}
+        if nr_metrics and eval_mode in ("NR", "ALL"):
+            # independent state per eval_type
+            self.nr = {etype: {k: _clone_metric(v)
+                               for k, v in nr_metrics.items()}
+                       for etype in self.eval_types}
         self.save_dir = save_dir  # per-image PNG dumps (reference
         # eval_image_restoration.py:84-98) into save_dir/{hq,lq}/
 
@@ -78,7 +102,7 @@ class ImageRestorationEvaluator:
             pred = np.asarray(self.restore_fn(imgs, "ir"), np.float32)
             pred = M.quantize_preds(pred)
             self._maybe_save(etype, pred, batch.get("fname"))
-            if hq is not None:
+            if hq is not None and self.eval_mode in ("FR", "ALL"):
                 target = np.clip(hq, 0, 1).astype(np.float32)
                 mm = self.task_metric.metrics[etype]
                 for p, t in zip(pred, target):
@@ -91,6 +115,9 @@ class ImageRestorationEvaluator:
                 if self.fid is not None:
                     self.fid[etype].update(pred, real=False)
                     self.fid[etype].update(target, real=True)
+            if self.nr:
+                for m in self.nr[etype].values():
+                    m.update(pred)
         return pred
 
     def epoch_end(self, prefix: str = "val"):
@@ -98,7 +125,15 @@ class ImageRestorationEvaluator:
         if self.fid is not None:
             for etype, fid in self.fid.items():
                 out[f"{prefix}_{etype}/fid"] = fid.compute()
-        out["val_monitor"] = out.get(f"{prefix}_lq/psnr", 0.0)
+        for etype, metrics in self.nr.items():
+            for name, m in metrics.items():
+                out[f"{prefix}_{etype}/{name}"] = float(m.compute())
+                m.reset()
+        # monitor: PSNR (FR) or NIQE (NR) — eval_image_restoration.py:104
+        if self.eval_mode == "NR":
+            out["val_monitor"] = out.get(f"{prefix}_lq/niqe", 0.0)
+        else:
+            out["val_monitor"] = out.get(f"{prefix}_lq/psnr", 0.0)
         self.task_metric.reset_metrics()
         return out
 

@@ -1,0 +1,153 @@
+"""No-reference IQA metric suite — the reference's NR eval protocol
+(eval_image_restoration.py:190-203): clipiqa, musiq, musiq-ava,
+musiq-paq2piq, musiq-spaq, nima-koniq, maniqa, hyperiqa, pi, niqe.
+
+Each neural metric is a native JAX model from this package with weights
+loaded from the offline converters (``$UNIRESTORE_WEIGHTS/<name>.npz``;
+random init + warning when absent — scores then have the right shape and
+protocol but arbitrary values). NIQE/PI are host-side numpy (classical
+statistics over MSCN coefficients).
+
+PI = 0.5 * ((10 - NRQM) + NIQE) (Blau et al., PIRM 2018). NRQM's exact Ma
+et al. pipeline (steerable pyramids + random forests) is not ported; when
+``nrqm.npz`` is absent we substitute the dataset-calibrated constant
+NRQM=5 (mid scale) and warn once — NIQE still drives the ranking signal.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import numpy as np
+
+from .. import zoo
+from . import clipiqa as CIQ
+from . import hyperiqa as HIQ
+from . import maniqa as MAN
+from . import musiq as MUS
+from . import nima as NIM
+
+_WARNED = set()
+
+
+def _warn_once(msg):
+    if msg not in _WARNED:
+        _WARNED.add(msg)
+        warnings.warn(msg)
+
+
+class NeuralNR:
+    """MeanMetric-style wrapper over a jitted batched score fn."""
+
+    def __init__(self, fn):
+        self.fn = fn
+        self.total, self.count = 0.0, 0
+
+    def update(self, images):
+        scores = np.asarray(self.fn(images), np.float64)
+        self.total += float(scores.sum())
+        self.count += int(scores.shape[0])
+
+    def compute(self):
+        return self.total / max(self.count, 1)
+
+    def reset(self):
+        self.total, self.count = 0.0, 0
+
+
+def _musiq_metric(weights_name: str, num_classes: int, seed: int):
+    p = MUS.musiq_init(jax.random.PRNGKey(seed), num_classes)
+    p, _ = zoo.load_npz_tree(weights_name, p)
+    return NeuralNR(jax.jit(
+        lambda imgs: MUS.musiq_score(p, imgs, num_classes)))
+
+
+def _clipiqa_metric(seed: int):
+    p = CIQ.clip_rn50_init(jax.random.PRNGKey(seed))
+    p, _ = zoo.load_npz_tree("clipiqa_rn50", p)
+    return NeuralNR(jax.jit(lambda imgs: CIQ.clipiqa_score(p, imgs)))
+
+
+def _nima_metric(seed: int):
+    # nima-koniq: Inception-ResNet-V2 regressor trained on KonIQ-10k
+    p = NIM.inception_resnet_v2_init(jax.random.PRNGKey(seed),
+                                     num_classes=1)
+    p, _ = zoo.load_npz_tree("nima_koniq", p)
+    return NeuralNR(jax.jit(
+        lambda imgs: NIM.nima_score(p, imgs, num_classes=1)))
+
+
+def _maniqa_metric(seed: int):
+    p = MAN.maniqa_init(jax.random.PRNGKey(seed))
+    p, _ = zoo.load_npz_tree("maniqa", p)
+    return NeuralNR(jax.jit(lambda imgs: MAN.maniqa_score(p, imgs)))
+
+
+def _hyperiqa_metric(seed: int):
+    p = HIQ.hyperiqa_init(jax.random.PRNGKey(seed))
+    p, _ = zoo.load_npz_tree("hyperiqa", p)
+    return NeuralNR(jax.jit(lambda imgs: HIQ.hyperiqa_score(p, imgs)))
+
+
+class PIMetric:
+    """Perceptual Index: 0.5 * ((10 - NRQM) + NIQE)."""
+
+    def __init__(self, niqe_metric, nrqm_const: float = 5.0):
+        self.niqe = niqe_metric
+        self.nrqm_const = nrqm_const
+
+    def update(self, images):
+        self.niqe.update(images)
+
+    def compute(self):
+        return 0.5 * ((10.0 - self.nrqm_const) + self.niqe.compute())
+
+    def reset(self):
+        self.niqe.reset()
+
+
+def build_nr_suite(names=None, seed: int = 11) -> dict:
+    """name -> MeanMetric-style object for the requested NR metrics.
+
+    Default = the reference's full 10-metric NR set. NIQE (and hence PI)
+    is skipped with a warning when no pristine model has been fitted.
+    """
+    names = list(names) if names is not None else [
+        "clipiqa", "musiq", "musiq-ava", "musiq-paq2piq", "musiq-spaq",
+        "nima-koniq", "maniqa", "hyperiqa", "pi", "niqe"]
+    out = {}
+    for name in names:
+        if name == "clipiqa":
+            out[name] = _clipiqa_metric(seed)
+        elif name == "musiq":
+            out[name] = _musiq_metric("musiq_koniq", 1, seed)
+        elif name == "musiq-ava":
+            out[name] = _musiq_metric("musiq_ava", 10, seed)
+        elif name == "musiq-paq2piq":
+            out[name] = _musiq_metric("musiq_paq2piq", 1, seed)
+        elif name == "musiq-spaq":
+            out[name] = _musiq_metric("musiq_spaq", 1, seed)
+        elif name == "nima-koniq":
+            out[name] = _nima_metric(seed)
+        elif name == "maniqa":
+            out[name] = _maniqa_metric(seed)
+        elif name == "hyperiqa":
+            out[name] = _hyperiqa_metric(seed)
+        elif name in ("niqe", "pi"):
+            from .niqe import NIQEMetric
+            try:
+                m = NIQEMetric()
+            except FileNotFoundError:
+                _warn_once(
+                    f"NR metric '{name}' skipped: no NIQE pristine model "
+                    "(fit one with tools/fit_niqe.py)")
+                continue
+            out[name] = m if name == "niqe" else PIMetric(m)
+            if name == "pi":
+                _warn_once(
+                    "PI uses NRQM=5.0 (constant) — exact Ma et al. NRQM "
+                    "is not ported; NIQE drives the ranking signal")
+        else:
+            raise ValueError(f"unknown NR metric {name}")
+    return out

@@ -34,16 +34,25 @@ def mha_init(key, query_dim: int, heads: int, dim_head: int,
     }
 
 
-_FLASH_MIN_SEQ = 1024
+# Measured on v5e (512px pipeline, batch 8): the Pallas flash kernel is
+# ~2x SLOWER in situ than XLA's fused attention at seq 4096 / d 64 inside
+# the DDIM scan (187 -> 97 ms/step when routed to XLA), so XLA is the
+# default for every shape the standard pipeline produces. Flash remains
+# the path for very long sequences (large tiled inputs) where O(T^2)
+# memory for the logits would blow HBM.
+_FLASH_MIN_SEQ = 16384
 
 
 def _use_flash(t: int, s: int, dim_head: int) -> bool:
-    """Route long spatial self-attention through the Pallas TPU flash
-    kernel; small sequences and 77-token cross-attention stay on the XLA
-    path (cheap, and flash needs block-aligned kv lengths)."""
+    """Route very long spatial self-attention through the Pallas TPU flash
+    kernel; everything the 512px pipeline produces (<= 4096 tokens, and
+    77-token cross-attention) stays on the XLA path (faster, see above)."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return (t == s and t >= _FLASH_MIN_SEQ and t % 512 == 0
+    import os
+    min_seq = int(os.environ.get("UNIRESTORE_FLASH_MIN_SEQ",
+                                 _FLASH_MIN_SEQ))
+    return (t == s and t >= min_seq and t % 512 == 0
             and dim_head <= 256)
 
 
