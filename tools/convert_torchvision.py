@@ -115,6 +115,32 @@ def convert_deeplab(sd: dict) -> dict:
     return out
 
 
+def convert_refinenet(sd: dict) -> dict:
+    """RefineNet-LW-101 checkpoints (refinenetlw.py:153-222 naming) ->
+    tasks/refinenet.py tree. Handles the Cityscapes/FIFO/ft exports."""
+    out = convert_resnet(sd, "resnet101", out_prefix=f"backbone{SEP}")
+    out.pop(f"backbone{SEP}fc{SEP}w", None)
+    out.pop(f"backbone{SEP}fc{SEP}b", None)
+
+    def c1(ours, theirs):
+        out[f"{ours}{SEP}w"] = conv_w(sd[f"{theirs}.weight"])
+
+    levels = {"c5": 1, "c4": 2, "c3": 3, "c2": 4}
+    for lvl, i in levels.items():
+        c1(f"dimred{SEP}{lvl}", f"p_ims1d2_outl{i}_dimred")
+        for s in range(4):
+            c1(f"crp{SEP}{lvl}{SEP}{s}",
+               f"mflow_conv_g{i}_pool.{s + 1}_outvar_dimred")
+        if lvl != "c2":
+            c1(f"fuse{SEP}{lvl}", f"mflow_conv_g{i}_b3_joint_varout_dimred")
+        if lvl != "c5":
+            c1(f"adapt{SEP}{lvl}", f"adapt_stage{i}_b2_joint_varout_dimred")
+    out[f"clf{SEP}w"] = conv_w(sd["clf_conv.weight"])
+    if "clf_conv.bias" in sd:
+        out[f"clf{SEP}b"] = sd["clf_conv.bias"]
+    return out
+
+
 def convert_inception(sd: dict) -> dict:
     """torchvision inception_v3 -> evalx.inception tree (FID features)."""
     out = {}
@@ -171,6 +197,9 @@ def main():
     elif kind == "deeplabv3plus":
         out = convert_deeplab(_sd(sys.argv[2]))
         name = "deeplabv3plus_resnet50"
+    elif kind == "refinenet":
+        out = convert_refinenet(_sd(sys.argv[2]))
+        name = sys.argv[3] if len(sys.argv) > 3 else "refinenet_lw101"
     elif kind == "lpips_alex":
         out = convert_lpips(sys.argv[2], sys.argv[3])
         name = "lpips_alex"

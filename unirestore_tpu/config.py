@@ -126,14 +126,15 @@ def build(cfg: dict, tiny: bool = False):
                 mode, "r50v1" if zoo else None)
             return EV.ClassificationEvaluator(restore, zoo, monitor=monitor)
         if etype == "seg":
-            critics = eng.build_critics()
-            from .tasks import deeplab as DLB
-            import jax
+            from .tasks import seg_zoo as SZ
 
-            seg = jax.jit(
-                lambda imgs: DLB.deeplabv3plus_apply(critics["seg"], imgs))
-            return EV.SemanticSegmentationEvaluator(restore,
-                                                    {"dlv3pr50": seg})
+            # seg eval_mode selects the probe set (single/all/bare,
+            # eval_semantic_segmentation.py:37-50); monitor rflwr101 (:102)
+            mode = m.get("eval_mode", "single")
+            zoo = SZ.build_seg_zoo(mode)
+            return EV.SemanticSegmentationEvaluator(
+                restore, zoo,
+                monitor="rflwr101" if "rflwr101" in zoo else None)
         if etype == "mtl":
             critics = eng.build_critics()
             import jax

@@ -182,11 +182,16 @@ class SemanticSegmentationEvaluator:
     TTA_SCALES = (1.0, 0.8, 0.6)
 
     def __init__(self, restore_fn, seg_models: dict, num_classes: int = 19,
-                 tta: bool = True):
-        """``seg_models``: name -> fn(images) -> logits (B,H,W,C) numpy."""
+                 tta: bool = True, monitor: str | None = None):
+        """``seg_models``: name -> fn(images) -> logits (B,H,W,C) numpy.
+
+        ``monitor``: probe for val_monitor (reference: rflwr101,
+        eval_semantic_segmentation.py:102)."""
         self.restore_fn = restore_fn
         self.seg_models = seg_models
         self.tta = tta
+        self.monitor = monitor or (next(iter(seg_models))
+                                   if seg_models else None)
         self.eval_types = ["hq", "lq"]
         self.task_metric = TaskMetric(self.eval_types)
         for name in seg_models:
@@ -222,10 +227,11 @@ class SemanticSegmentationEvaluator:
             if imgs is None:
                 continue
             imgs = center_crop(imgs, 960, 1664)
-            lb = labels[:, :imgs.shape[1], :imgs.shape[2]] \
-                if labels.shape[1:] != imgs.shape[1:3] else labels
+            lb = labels
+            if labels.shape[1:3] != imgs.shape[1:3]:
+                lb = center_crop(labels[..., None], 960, 1664)[..., 0]
             pred = np.asarray(self.restore_fn(imgs, "seg"), np.float32)
-            pred = np.clip(pred, 0, 1)
+            pred = M.quantize_preds(pred)
             for name, model in self.seg_models.items():
                 logits = self._predict_logits(model, pred)
                 seg = logits.argmax(-1)
@@ -233,8 +239,8 @@ class SemanticSegmentationEvaluator:
 
     def epoch_end(self, prefix: str = "val"):
         out = self.task_metric.compute_metrics(prefix)
-        first = next(iter(self.seg_models))
-        out["val_monitor"] = out.get(f"{prefix}_lq/{first}", 0.0)
+        if self.monitor is not None:
+            out["val_monitor"] = out.get(f"{prefix}_lq/{self.monitor}", 0.0)
         self.task_metric.reset_metrics()
         return out
 

@@ -32,6 +32,7 @@ FEAT = 7  # hyper feature spatial size
 def hyperiqa_init(key):
     ks = iter(jax.random.split(key, 32))
     p = {
+        # resnet50 features only (the hyperIQA backbone has no fc head)
         "backbone": RN.resnet_init(next(ks), "resnet50"),
         # LDA heads: 1x1 conv then 7-stride avg pool then fc -> 16 each;
         # stage-4 GAP fc -> 224 - 3*16 = 176

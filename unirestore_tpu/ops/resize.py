@@ -31,12 +31,17 @@ def _cubic_weights(frac: np.ndarray, a: float = -0.75) -> np.ndarray:
     return k(d)
 
 
-def _resize_axis(x, out_size: int, axis: int, kind: str):
+def _resize_axis(x, out_size: int, axis: int, kind: str,
+                 align_corners: bool = False):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    scale = in_size / out_size
-    pos = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    if align_corners:
+        scale = (in_size - 1) / max(out_size - 1, 1)
+        pos = np.arange(out_size, dtype=np.float64) * scale
+    else:
+        scale = in_size / out_size
+        pos = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
     base = np.floor(pos).astype(np.int64)
     frac = pos - base
 
@@ -80,6 +85,16 @@ def resize_bilinear(x, size: tuple[int, int]):
     oh, ow = size
     x = _resize_axis(x, oh, axis=1, kind="linear")
     x = _resize_axis(x, ow, axis=2, kind="linear")
+    return x
+
+
+def resize_bilinear_ac(x, size: tuple[int, int]):
+    """Bilinear NHWC resize = torch interpolate(mode="bilinear",
+    align_corners=True) — the RefineNet-LW top-down upsampling convention
+    (refinenetlw.py:248, 256, 264)."""
+    oh, ow = size
+    x = _resize_axis(x, oh, axis=1, kind="linear", align_corners=True)
+    x = _resize_axis(x, ow, axis=2, kind="linear", align_corners=True)
     return x
 
 
