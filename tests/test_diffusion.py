@@ -67,3 +67,48 @@ def test_ddim_chain_is_scan_compatible():
 
     out, _ = jax.lax.scan(body, z, ts)
     assert out.shape == z.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_encode_decode_composition():
+    """unet_apply must equal unet_encode + unet_decode (refactor guard)."""
+    import jax
+    import jax.numpy as jnp
+    from unirestore_tpu.models import unet as UN
+
+    cfg = UN.tiny_unet_config("scedit")
+    p = UN.unet_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    ts = jnp.full((1,), 499, jnp.int32)
+    ehs = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, 77, cfg.cross_attention_dim))
+    full = UN.unet_apply(p, cfg, x, ts, ehs)
+    emb = UN.unet_time_embedding(p, cfg, ts, x.dtype)
+    h, skips = UN.unet_encode(p, cfg, x, emb, ehs)
+    split = UN.unet_decode(p, cfg, h, skips, emb, ehs)
+    assert jnp.allclose(full, split), "encode+decode != apply"
+
+
+def test_ddim_encoder_propagation_runs_and_bounded():
+    import jax
+    import jax.numpy as jnp
+    from unirestore_tpu.models import unirestore as UR
+
+    cfg = UR.tiny_config()
+    frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)
+    sched = UR.schedule(cfg)
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4)) * 0.3
+    zt, _, _ = UR.diffuse(sched, z0, jax.random.PRNGKey(2),
+                          jnp.full((1,), 999, jnp.int32))
+    full = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                           num_inference_steps=4)
+    fast = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                           num_inference_steps=4, encoder_propagation=True)
+    assert fast.shape == full.shape
+    import numpy as np
+    a, b = np.asarray(full, np.float64), np.asarray(fast, np.float64)
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+    assert np.isfinite(rel)
+    # odd step count exercises the trailing full step
+    fast3 = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                            num_inference_steps=3, encoder_propagation=True)
+    assert fast3.shape == full.shape

@@ -117,3 +117,26 @@ def test_transformer_2d_shapes():
     ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 96))
     y = T.transformer_2d(p, x, ctx, heads=4)
     assert y.shape == x.shape
+
+
+def test_fused_attention_matches_reference():
+    """Pallas fused attention (interpret mode on CPU) == XLA attention."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unirestore_tpu.nn.pallas_attention import fused_attention, supported
+
+    assert supported(4096, 4096, 64)
+    assert supported(256, 256, 64)
+    assert not supported(4096, 77, 64)   # cross-attention
+    assert not supported(4096, 4096, 512)  # VAE mid stays on XLA
+
+    b, t, h, d = 1, 256, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, t, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, t, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, t, h, d), jnp.float32)
+    ours = fused_attention(q, k, v, d ** -0.5, interpret=True)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)

@@ -193,27 +193,26 @@ def _resnet_maybe_spade(p_res, x, temb, cfg, spade_p, control, scale_idx):
     return x + h
 
 
-def unet_apply(p, cfg: UNetConfig, sample, timesteps, encoder_hidden_states,
-               control=None, control_params=None):
-    """Full controlled UNet forward (base_model.py:211-245).
+def unet_time_embedding(p, cfg: UNetConfig, timesteps, dtype):
+    temb = E.sinusoidal_timestep_embedding(timesteps,
+                                           cfg.block_out_channels[0])
+    return E.timestep_mlp(p["time_embedding"], temb.astype(dtype))
 
-    Args:
-        sample: (B, h, w, 4) noisy latent, NHWC.
-        timesteps: (B,) int32.
-        encoder_hidden_states: (B, 77, 1024) text context (null embedding).
-        control: list of per-scale control maps [(B, h, w, Cc), (B, h/2, ...),
-            ...] indexed by downsample level, or None.
-        control_params: adapter params from ``control_adapters_init``.
+
+def unet_encode(p, cfg: UNetConfig, sample, emb, encoder_hidden_states,
+                control=None, control_params=None):
+    """UNet down path + mid + SC-Tuner skip injection
+    (base_model.py:94-162, 233-238). Returns (h_mid, skips).
+
+    Split out from ``unet_apply`` so the DDIM loop can propagate encoder
+    features across adjacent timesteps ("Faster Diffusion",
+    arXiv:2312.09608) and run only ``unet_decode`` at non-key steps.
     """
     use_scedit = (control is not None and control_params is not None
                   and "csc_editors" in control_params)
     use_spade = (control is not None and control_params is not None
                  and "spades" in control_params)
     spades = control_params["spades"] if use_spade else None
-
-    temb = E.sinusoidal_timestep_embedding(timesteps, cfg.block_out_channels[0])
-    temb = temb.astype(sample.dtype)
-    emb = E.timestep_mlp(p["time_embedding"], temb)
 
     h = L.conv2d(p["conv_in"], sample, padding=1)
 
@@ -248,7 +247,19 @@ def unet_apply(p, cfg: UNetConfig, sample, timesteps, encoder_hidden_states,
         skips = [SC.csce_adapter(ed, s, control[si])
                  for ed, s, si in zip(control_params["csc_editors"], skips,
                                       scale_idxs)]
+    return h, skips
 
+
+def unet_decode(p, cfg: UNetConfig, h, skips, emb, encoder_hidden_states,
+                control=None, control_params=None):
+    """UNet up path + head (base_model.py:164-209). ``skips`` is not
+    mutated."""
+    use_spade = (control is not None and control_params is not None
+                 and "spades" in control_params)
+    spades = control_params["spades"] if use_spade else None
+    skips = list(skips)
+
+    n_levels = len(cfg.block_out_channels)
     for i, blk in enumerate(p["up_blocks"]):
         blk_idx = n_levels - 1 - i
         for j, res in enumerate(blk["resnets"]):
@@ -267,3 +278,22 @@ def unet_apply(p, cfg: UNetConfig, sample, timesteps, encoder_hidden_states,
     h = L.silu(L.group_norm(p["conv_norm_out"], h, groups=cfg.norm_num_groups,
                             eps=cfg.eps))
     return L.conv2d(p["conv_out"], h, padding=1)
+
+
+def unet_apply(p, cfg: UNetConfig, sample, timesteps, encoder_hidden_states,
+               control=None, control_params=None):
+    """Full controlled UNet forward (base_model.py:211-245).
+
+    Args:
+        sample: (B, h, w, 4) noisy latent, NHWC.
+        timesteps: (B,) int32.
+        encoder_hidden_states: (B, 77, 1024) text context (null embedding).
+        control: list of per-scale control maps [(B, h, w, Cc), (B, h/2, ...),
+            ...] indexed by downsample level, or None.
+        control_params: adapter params from ``control_adapters_init``.
+    """
+    emb = unet_time_embedding(p, cfg, timesteps, sample.dtype)
+    h, skips = unet_encode(p, cfg, sample, emb, encoder_hidden_states,
+                           control, control_params)
+    return unet_decode(p, cfg, h, skips, emb, encoder_hidden_states,
+                       control, control_params)

@@ -47,6 +47,10 @@ class UniRestoreConfig:
     prompt_len: int = 1
     use_tfa: bool = False
     num_inference_steps: int = 1
+    # Faster-Diffusion encoder propagation in the DDIM loop (arXiv:
+    # 2312.09608): cache Controller + UNet encoder at key steps, run only
+    # the decoder at follower steps. Approximate; off = exact reference.
+    encoder_propagation: bool = False
     # preprocessing (unifie.py:124-134)
     min_size: int = 512
     pad_multiple: int = 64
@@ -155,19 +159,66 @@ def predict_z0(frozen, trainable, cfg, sched, zt, conditions, timesteps):
 
 
 def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
-                 num_inference_steps=None):
+                 num_inference_steps=None, encoder_propagation=False):
     """DDIM loop with per-step Controller control, as a lax.scan
-    (unifie.py:146-150)."""
+    (unifie.py:146-150).
+
+    ``encoder_propagation=True`` enables the Faster-Diffusion fast path
+    (arXiv:2312.09608): UNet encoder features change little between
+    adjacent timesteps, so the Controller + UNet encoder (+ SC-Tuner
+    injection) run only at every other ("key") step and the follower step
+    re-runs just the UNet decoder with the cached encoder features and a
+    fresh timestep embedding. ~40% fewer FLOPs per DDIM pair with a small,
+    bounded approximation error; OFF by default (exact reference
+    semantics).
+    """
     n = num_inference_steps or cfg.num_inference_steps
     ts = jnp.asarray(D.ddim_timesteps(n))
     bsz = zt.shape[0]
 
-    def body(z, t):
+    def full_step(z, t):
         tb = jnp.full((bsz,), t, jnp.int32)
         eps = predict_eps(frozen, trainable, cfg, z, z0_lq, tb)
-        return D.ddim_step(sched, z, eps, t, n), None
+        return D.ddim_step(sched, z, eps, t, n)
 
-    z, _ = jax.lax.scan(body, zt, ts)
+    if not encoder_propagation or n < 2:
+        def body(z, t):
+            return full_step(z, t), None
+
+        z, _ = jax.lax.scan(body, zt, ts)
+        return z
+
+    unet_p = frozen["unet"]
+    null = jnp.broadcast_to(frozen["null_emb"],
+                            (bsz,) + frozen["null_emb"].shape[1:]
+                            ).astype(zt.dtype)
+    ctrl_params = trainable.get("control")
+
+    def pair_body(z, t_pair):
+        t0, t1 = t_pair[0], t_pair[1]
+        # key step: Controller + full UNet, caching encoder features
+        tb0 = jnp.full((bsz,), t0, jnp.int32)
+        control = CTRL.controller_apply(trainable["controller"],
+                                        cfg.controller, z0_lq, tb0)
+        emb0 = UN.unet_time_embedding(unet_p, cfg.unet, tb0, z.dtype)
+        h, skips = UN.unet_encode(unet_p, cfg.unet, z, emb0, null, control,
+                                  ctrl_params)
+        eps0 = UN.unet_decode(unet_p, cfg.unet, h, skips, emb0, null,
+                              control, ctrl_params)
+        z = D.ddim_step(sched, z, eps0, t0, n)
+        # follower step: decoder only, cached encoder features + fresh temb
+        tb1 = jnp.full((bsz,), t1, jnp.int32)
+        emb1 = UN.unet_time_embedding(unet_p, cfg.unet, tb1, z.dtype)
+        eps1 = UN.unet_decode(unet_p, cfg.unet, h, skips, emb1, null,
+                              control, ctrl_params)
+        z = D.ddim_step(sched, z, eps1, t1, n)
+        return z, None
+
+    n_pairs = n // 2
+    pairs = ts[:2 * n_pairs].reshape(n_pairs, 2)
+    z, _ = jax.lax.scan(pair_body, zt, pairs)
+    if n % 2:  # trailing odd step runs in full
+        z = full_step(z, ts[-1])
     return z
 
 
@@ -185,7 +236,8 @@ def restore_padded(frozen, trainable, cfg, sched, images, task, rng,
         t999 = jnp.full((images.shape[0],), 999, jnp.int32)
         zt, _, _ = diffuse(sched, z0, k_diff, timesteps=t999)
         zt = ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
-                          num_inference_steps)
+                          num_inference_steps,
+                          encoder_propagation=cfg.encoder_propagation)
     else:
         zt = z0
     return decode(frozen, trainable, cfg, zt, skips, task)
