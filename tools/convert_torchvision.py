@@ -141,6 +141,41 @@ def convert_refinenet(sd: dict) -> dict:
     return out
 
 
+def convert_fasterrcnn(sd: dict) -> dict:
+    """torchvision fasterrcnn_resnet50_fpn_v2 -> tasks/fasterrcnn.py tree."""
+    out = convert_resnet(sd, "resnet50", prefix="backbone.body.",
+                         out_prefix=f"backbone{SEP}")
+    out.pop(f"backbone{SEP}fc{SEP}w", None)
+    out.pop(f"backbone{SEP}fc{SEP}b", None)
+
+    def cv(ours, theirs):
+        out[f"{ours}{SEP}w"] = conv_w(sd[f"{theirs}.weight"])
+        if f"{theirs}.bias" in sd:
+            out[f"{ours}{SEP}b"] = sd[f"{theirs}.bias"]
+
+    def lin(ours, theirs):
+        out[f"{ours}{SEP}w"] = np.transpose(sd[f"{theirs}.weight"], (1, 0))
+        out[f"{ours}{SEP}b"] = sd[f"{theirs}.bias"]
+
+    for i, lvl in enumerate((2, 3, 4, 5)):
+        cv(f"lateral{SEP}c{lvl}", f"backbone.fpn.inner_blocks.{i}.0")
+        cv(f"smooth{SEP}p{lvl}", f"backbone.fpn.layer_blocks.{i}.0")
+    for i in range(2):
+        cv(f"rpn{SEP}convs{SEP}{i}", f"rpn.head.conv.{i}.0")
+    cv(f"rpn{SEP}cls", "rpn.head.cls_logits")
+    cv(f"rpn{SEP}box", "rpn.head.bbox_pred")
+    for i in range(4):
+        # FastRCNNConvFCHead: Conv2dNormActivation x4, Flatten, Linear
+        t = f"roi_heads.box_head.{i}"
+        out[f"box_head{SEP}convs{SEP}{i}{SEP}conv{SEP}w"] = conv_w(
+            sd[f"{t}.0.weight"])
+        _bn(out, f"box_head{SEP}convs{SEP}{i}{SEP}bn", f"{t}.1", sd)
+    lin(f"box_head{SEP}fc", "roi_heads.box_head.5")
+    lin("cls_score", "roi_heads.box_predictor.cls_score")
+    lin("bbox_pred", "roi_heads.box_predictor.bbox_pred")
+    return out
+
+
 def convert_inception(sd: dict) -> dict:
     """torchvision inception_v3 -> evalx.inception tree (FID features)."""
     out = {}
@@ -200,6 +235,9 @@ def main():
     elif kind == "refinenet":
         out = convert_refinenet(_sd(sys.argv[2]))
         name = sys.argv[3] if len(sys.argv) > 3 else "refinenet_lw101"
+    elif kind == "fasterrcnn":
+        out = convert_fasterrcnn(_sd(sys.argv[2]))
+        name = "fasterrcnn_resnet50"
     elif kind == "lpips_alex":
         out = convert_lpips(sys.argv[2], sys.argv[3])
         name = "lpips_alex"

@@ -151,10 +151,14 @@ def build(cfg: dict, tiny: bool = False):
                 EV.SemanticSegmentationEvaluator(restore, {"dlv3pr50": seg}))
         if etype == "det":
             critics = eng.build_critics()
-            from .tasks import retinanet as RET
-            det = lambda imgs: RET.retinanet_detect(  # noqa: E731
-                critics["det"], imgs,
-                score_threshold=0.05)
+            if m.get("downstream") == "fastrcnn":
+                from .tasks import fasterrcnn as FRC
+                det = lambda imgs: FRC.fasterrcnn_detect(  # noqa: E731
+                    critics["det"], imgs, score_threshold=0.05)
+            else:
+                from .tasks import retinanet as RET
+                det = lambda imgs: RET.retinanet_detect(  # noqa: E731
+                    critics["det"], imgs, score_threshold=0.05)
             return EV.DetectionEvaluator(restore, det,
                                          iou_thresholds=(0.1,))
         raise KeyError(etype)

@@ -71,10 +71,10 @@ def retinanet_features(p, images, preprocess_input: bool = True):
         x = (x - mean) / std
     f = RN.resnet_features(p["backbone"], x)
     p5 = L.conv2d(p["lateral"]["c5"], f["c5"], padding=0)
-    p4 = L.conv2d(p["lateral"]["c4"], f["c4"], padding=0) + \
-        L.upsample_nearest_2x(p5)
-    p3 = L.conv2d(p["lateral"]["c3"], f["c3"], padding=0) + \
-        L.upsample_nearest_2x(p4)
+    p4 = L.conv2d(p["lateral"]["c4"], f["c4"], padding=0)
+    p4 = p4 + L.resize_nearest(p5, p4.shape[1:3])
+    p3 = L.conv2d(p["lateral"]["c3"], f["c3"], padding=0)
+    p3 = p3 + L.resize_nearest(p4, p3.shape[1:3])
     p3 = L.conv2d(p["smooth"]["p3"], p3, padding=1)
     p4 = L.conv2d(p["smooth"]["p4"], p4, padding=1)
     p5 = L.conv2d(p["smooth"]["p5"], p5, padding=1)

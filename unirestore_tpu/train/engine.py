@@ -128,9 +128,15 @@ class UniFIEEngine:
             p, _ = zoo.load_npz_tree("deeplabv3plus_resnet50", p)
             critics["seg"] = p
         if self.engine_type == "det":
-            from ..tasks import retinanet as RET
-            p = RET.retinanet_init(jax.random.PRNGKey(9))
-            p, _ = zoo.load_npz_tree("retinanet_resnet50", p)
+            # downstream selects the detector (engine_unifie.py:319-336)
+            if self.downstream == "fastrcnn":
+                from ..tasks import fasterrcnn as FRC
+                p = FRC.fasterrcnn_init(jax.random.PRNGKey(9))
+                p, _ = zoo.load_npz_tree("fasterrcnn_resnet50", p)
+            else:
+                from ..tasks import retinanet as RET
+                p = RET.retinanet_init(jax.random.PRNGKey(9))
+                p, _ = zoo.load_npz_tree("retinanet_resnet50", p)
             critics["det"] = p
         return critics
 
@@ -162,6 +168,11 @@ class UniFIEEngine:
                 # gt is the padded dict {"boxes", "labels", "mask"}
                 # (DetectionLoss: sum of detector loss terms,
                 # eval_detection.py:164-192)
+                if self.downstream == "fastrcnn":
+                    from ..tasks import fasterrcnn as FRC
+                    return FRC.fasterrcnn_loss(
+                        critics["det"], p32, gt["boxes"], gt["labels"],
+                        gt["mask"])
                 from ..tasks import retinanet as RET
                 return RET.retinanet_loss(critics["det"], p32, gt["boxes"],
                                           gt["labels"], gt["mask"])
