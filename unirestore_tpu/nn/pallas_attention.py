@@ -27,31 +27,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0]  # (BQ, D)
-    k = k_ref[0, 0]  # (T, D)
-    v = v_ref[0, 0]  # (T, D)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    q = q_ref[...]  # (BH_BLK, BQ, D)
+    k = k_ref[...]  # (BH_BLK, T, D)
+    v = v_ref[...]  # (BH_BLK, T, D)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    s = s * scale
+    s = s * scale  # (BH_BLK, BQ, T)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(p.astype(v.dtype), v,
-                            (((1,), (0,)), ((), ())),
+                            (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+    o_ref[...] = (o / l).astype(o_ref.dtype)
 
 
-def _pick_bq(t: int, d: int) -> int:
-    # keep the fp32+bf16 logit block, K/V, and pipeline double-buffers
-    # inside the ~16 MB VMEM budget
-    for bq in (512, 256, 128, 64, 32, 16, 8):
-        if t % bq:
-            continue
-        vmem = bq * t * 6 + 2 * t * d * 2 + 4 * bq * d * 2
-        if vmem <= 8 * 1024 * 1024:
-            return bq
-    return min(t, 8)
+# VMEM target for the fp32 logit block; the bf16 probability copy, K/V,
+# and pipeline double-buffers ride alongside within the 16 MB budget.
+_S_BYTES = 4 * 1024 * 1024
+
+
+def _pick_blocks(bh: int, t: int, d: int) -> tuple[int, int]:
+    """(bh_block, q_block): batch heads together when T is small so each
+    program does enough MXU work to amortize grid/DMA overhead."""
+    bq = min(t, 256)
+    bhb = max(1, _S_BYTES // (bq * t * 4))
+    while bhb > 1 and bh % bhb:
+        bhb -= 1
+    return bhb, bq
 
 
 def supported(t: int, s: int, d: int) -> bool:
@@ -65,22 +68,26 @@ def supported(t: int, s: int, d: int) -> bool:
 def fused_attention(q, k, v, scale: float, interpret: bool = False):
     """q, k, v: (B, T, H, D) -> (B, T, H, D). Non-causal self-attention.
 
-    Internally runs on (B, H, T, D) (Pallas block alignment wants the last
+    Internally runs on (B*H, T, D) (Pallas block alignment wants the last
     two dims to be the (sequence, feature) pair); the transposes are cheap
     relative to the avoided (T, T) HBM round-trip.
     """
     b, t, h, d = q.shape
-    bq = _pick_bq(t, d)
-    grid = (b, h, t // bq)
-    q_spec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0))
-    kv_spec = pl.BlockSpec((1, 1, t, d), lambda bi, hi, qi: (bi, hi, 0, 0))
+    bh = b * h
+    bhb, bq = _pick_blocks(bh, t, d)
+    grid = (bh // bhb, t // bq)
+    q_spec = pl.BlockSpec((bhb, bq, d), lambda i, qi: (i, qi, 0))
+    kv_spec = pl.BlockSpec((bhb, t, d), lambda i, qi: (i, 0, 0))
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(bh, t, d)
+
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
         interpret=interpret,
-    )(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-      v.transpose(0, 2, 1, 3))
-    return out.transpose(0, 2, 1, 3)
+    )(to_bh(q), to_bh(k), to_bh(v))
+    return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
