@@ -132,9 +132,12 @@ def build(cfg: dict, tiny: bool = False):
             # eval_semantic_segmentation.py:37-50); monitor rflwr101 (:102)
             mode = m.get("eval_mode", "single")
             zoo = SZ.build_seg_zoo(mode)
+            import os
             return EV.SemanticSegmentationEvaluator(
                 restore, zoo,
-                monitor="rflwr101" if "rflwr101" in zoo else None)
+                monitor="rflwr101" if "rflwr101" in zoo else None,
+                save_dir=os.path.join(root, "dumps")
+                if m.get("save_image") else None)
         if etype == "mtl":
             critics = eng.build_critics()
             import jax
@@ -159,8 +162,11 @@ def build(cfg: dict, tiny: bool = False):
                 from .tasks import retinanet as RET
                 det = lambda imgs: RET.retinanet_detect(  # noqa: E731
                     critics["det"], imgs, score_threshold=0.05)
-            return EV.DetectionEvaluator(restore, det,
-                                         iou_thresholds=(0.1,))
+            import os
+            return EV.DetectionEvaluator(
+                restore, det, iou_thresholds=(0.1,),
+                save_dir=os.path.join(root, "dumps")
+                if m.get("save_image") else None)
         raise KeyError(etype)
 
     return engine, trainer, data, evaluator_factory

@@ -24,6 +24,12 @@ from . import metrics as M
 from .task_metric import TaskMetric
 
 
+def _stem(name: str) -> str:
+    """fname may carry the original extension; dumps are always .png."""
+    import os
+    return os.path.splitext(str(name))[0]
+
+
 def _clone_metric(m):
     """Fresh-state copy sharing any underlying (jitted) network — the
     NetworkSharedMultioutputWrapper semantics (task.py:30-60)."""
@@ -85,7 +91,7 @@ class ImageRestorationEvaluator:
         os.makedirs(d, exist_ok=True)
         for img, name in zip(preds, fnames):
             arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-            Image.fromarray(arr).save(os.path.join(d, f"{name}.png"))
+            Image.fromarray(arr).save(os.path.join(d, f"{_stem(name)}.png"))
 
     def validation_step(self, batch):
         hq = batch.get("hq")
@@ -182,14 +188,18 @@ class SemanticSegmentationEvaluator:
     TTA_SCALES = (1.0, 0.8, 0.6)
 
     def __init__(self, restore_fn, seg_models: dict, num_classes: int = 19,
-                 tta: bool = True, monitor: str | None = None):
+                 tta: bool = True, monitor: str | None = None,
+                 save_dir: str | None = None):
         """``seg_models``: name -> fn(images) -> logits (B,H,W,C) numpy.
 
         ``monitor``: probe for val_monitor (reference: rflwr101,
-        eval_semantic_segmentation.py:102)."""
+        eval_semantic_segmentation.py:102). ``save_dir``: dump restored
+        images + Cityscapes-palette colorized predictions
+        (eval_semantic_segmentation.py:78-88, 239-248)."""
         self.restore_fn = restore_fn
         self.seg_models = seg_models
         self.tta = tta
+        self.save_dir = save_dir
         self.monitor = monitor or (next(iter(seg_models))
                                    if seg_models else None)
         self.eval_types = ["hq", "lq"]
@@ -236,6 +246,28 @@ class SemanticSegmentationEvaluator:
                 logits = self._predict_logits(model, pred)
                 seg = logits.argmax(-1)
                 self.task_metric.metrics[etype][name].update(seg, lb)
+                if self.save_dir and name == self.monitor:
+                    self._save_seg(etype, pred, seg, batch.get("fname"))
+
+    def _save_seg(self, etype, preds, segs, fnames):
+        """Restored image + colorized seg dumps (reference logdir/{lq,seg},
+        eval_semantic_segmentation.py:78-88 with the Cityscapes palette)."""
+        if fnames is None:
+            return
+        import os
+
+        from PIL import Image
+
+        from ..data.datasets import CITYSCAPES_TRAIN_ID_TO_COLOR as PAL
+        for sub in (etype, "seg"):
+            os.makedirs(os.path.join(self.save_dir, sub), exist_ok=True)
+        for img, seg, name in zip(preds, segs, fnames):
+            arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(self.save_dir, etype, f"{_stem(name)}.png"))
+            color = PAL[np.clip(seg, 0, len(PAL) - 1)].astype(np.uint8)
+            Image.fromarray(color).save(
+                os.path.join(self.save_dir, "seg", f"{_stem(name)}.png"))
 
     def epoch_end(self, prefix: str = "val"):
         out = self.task_metric.compute_metrics(prefix)
@@ -246,13 +278,44 @@ class SemanticSegmentationEvaluator:
 
 
 class DetectionEvaluator:
-    def __init__(self, restore_fn, detector_fn, iou_thresholds=(0.1,)):
-        """``detector_fn(images) -> list of {boxes, scores, labels}``."""
+    def __init__(self, restore_fn, detector_fn, iou_thresholds=(0.1,),
+                 save_dir: str | None = None):
+        """``detector_fn(images) -> list of {boxes, scores, labels}``.
+
+        ``save_dir``: dump restored images with predicted boxes drawn
+        (reference logdir/det, eval_detection.py:84-94, 286-318)."""
         self.restore_fn = restore_fn
         self.detector_fn = detector_fn
+        self.save_dir = save_dir
         self.eval_types = ["lq"]
         self.map = {t: M.MeanAveragePrecision(iou_thresholds)
                     for t in self.eval_types}
+
+    @staticmethod
+    def _draw_boxes(img_u8, boxes, color=(255, 0, 0), width: int = 2):
+        h, w = img_u8.shape[:2]
+        for x0, y0, x1, y1 in np.asarray(boxes, np.int64):
+            x0, x1 = np.clip([x0, x1], 0, w - 1)
+            y0, y1 = np.clip([y0, y1], 0, h - 1)
+            for t in range(width):
+                img_u8[np.clip(y0 + t, 0, h - 1), x0:x1 + 1] = color
+                img_u8[np.clip(y1 - t, 0, h - 1), x0:x1 + 1] = color
+                img_u8[y0:y1 + 1, np.clip(x0 + t, 0, w - 1)] = color
+                img_u8[y0:y1 + 1, np.clip(x1 - t, 0, w - 1)] = color
+        return img_u8
+
+    def _save_det(self, preds, dets, fnames):
+        if self.save_dir is None or fnames is None:
+            return
+        import os
+
+        from PIL import Image
+        d = os.path.join(self.save_dir, "det")
+        os.makedirs(d, exist_ok=True)
+        for img, det, name in zip(preds, dets, fnames):
+            arr = (np.clip(img, 0, 1) * 255).astype(np.uint8).copy()
+            arr = self._draw_boxes(arr, det["boxes"])
+            Image.fromarray(arr).save(os.path.join(d, f"{_stem(name)}.png"))
 
     def validation_step(self, batch):
         targets = batch["gt"] if isinstance(batch["gt"], list) \
@@ -261,6 +324,7 @@ class DetectionEvaluator:
         pred = np.asarray(self.restore_fn(imgs, "det"), np.float32)
         dets = self.detector_fn(np.clip(pred, 0, 1))
         self.map["lq"].update(dets, targets)
+        self._save_det(pred, dets, batch.get("fname"))
 
     def epoch_end(self, prefix: str = "val"):
         out = {f"{prefix}_lq/map": self.map["lq"].compute()}
