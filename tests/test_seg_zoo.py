@@ -88,3 +88,32 @@ def test_convert_refinenet_covers_tree():
     extra = [k for k in theirs - ours if "downsample" not in k]
     assert not missing, f"converter misses {sorted(missing)[:10]}"
     assert not extra, f"converter emits unknown {sorted(extra)[:10]}"
+
+
+def test_deeplab_factory_variants():
+    """modeling.py factory parity: plus/plain x {resnet50, mobilenet,
+    xception} all produce logits at input resolution."""
+    from unirestore_tpu.tasks import deeplab as DLB
+    x = jnp.ones((1, 32, 32, 3)) * 0.5
+    for name in ("deeplabv3plus_resnet50", "deeplabv3_resnet50",
+                 "deeplabv3plus_mobilenet", "deeplabv3_mobilenet",
+                 "deeplabv3plus_xception", "deeplabv3_xception"):
+        init_fn, apply_fn = DLB.deeplab_factory(name)
+        p = init_fn(jax.random.PRNGKey(0))
+        logits = apply_fn(p, x)
+        assert logits.shape == (1, 32, 32, 19), name
+    with pytest.raises(ValueError):
+        DLB.deeplab_factory("deeplabv3plus_vgg")
+
+
+def test_mobilenet_xception_feature_contract():
+    from unirestore_tpu.tasks import backbones as BB
+    x = jnp.ones((1, 64, 64, 3))
+    p = BB.mobilenet_v2_init(jax.random.PRNGKey(0))
+    f = BB.mobilenet_v2_features(p, x, output_stride=16)
+    assert f["low"].shape == (1, 16, 16, 24)
+    assert f["high"].shape == (1, 4, 4, 320)
+    p = BB.xception_init(jax.random.PRNGKey(0))
+    f = BB.xception_features(p, x, output_stride=16)
+    assert f["low"].shape == (1, 16, 16, 128)
+    assert f["high"].shape == (1, 4, 4, 2048)

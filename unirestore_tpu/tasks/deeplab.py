@@ -26,10 +26,41 @@ def _conv_bn_init(key, cin, cout, k):
             "bn": RN.bn_init(cout)}
 
 
-def deeplabv3plus_init(key, num_classes: int = 19, backbone: str = "resnet50"):
+# backbone -> (high-level channels, low-level channels)
+BACKBONE_CHANNELS = {
+    "resnet50": (2048, 256), "resnet101": (2048, 256),
+    "mobilenetv2": (320, 24), "xception": (2048, 128),
+}
+
+
+def _backbone_init(key, backbone: str):
+    if backbone in ("resnet50", "resnet101"):
+        p = RN.resnet_init(key, backbone)
+        del p["fc"]
+        return p
+    from . import backbones as BB
+    if backbone == "mobilenetv2":
+        return BB.mobilenet_v2_init(key)
+    if backbone == "xception":
+        return BB.xception_init(key)
+    raise ValueError(f"unknown deeplab backbone {backbone}")
+
+
+def _backbone_features(p, backbone: str, x, output_stride: int):
+    if backbone in ("resnet50", "resnet101"):
+        f = RN.resnet_features(p, x, output_stride=output_stride)
+        return {"low": f["c2"], "high": f["c5"]}
+    from . import backbones as BB
+    if backbone == "mobilenetv2":
+        return BB.mobilenet_v2_features(p, x, output_stride)
+    return BB.xception_features(p, x, output_stride)
+
+
+def deeplabv3plus_init(key, num_classes: int = 19,
+                       backbone: str = "resnet50", plus: bool = True):
     keys = iter(jax.random.split(key, 16))
-    p = {"backbone": RN.resnet_init(next(keys), backbone)}
-    c_high, c_low = 2048, 256
+    p = {"backbone": _backbone_init(next(keys), backbone)}
+    c_high, c_low = BACKBONE_CHANNELS[backbone]
     # ASPP: 1x1 + three atrous 3x3 + image pooling, all -> 256
     p["aspp"] = {
         "conv1x1": _conv_bn_init(next(keys), c_high, 256, 1),
@@ -39,8 +70,11 @@ def deeplabv3plus_init(key, num_classes: int = 19, backbone: str = "resnet50"):
         "project": _conv_bn_init(next(keys), 256 * (2 + len(ASPP_RATES)),
                                  256, 1),
     }
-    p["low_proj"] = _conv_bn_init(next(keys), c_low, 48, 1)
-    p["decoder"] = _conv_bn_init(next(keys), 256 + 48, 256, 3)
+    if plus:  # DeepLabV3+: low-level fusion decoder (modeling.py:288-353)
+        p["low_proj"] = _conv_bn_init(next(keys), c_low, 48, 1)
+        p["decoder"] = _conv_bn_init(next(keys), 256 + 48, 256, 3)
+    else:     # plain DeepLabV3 head (modeling.py:193-264)
+        p["decoder"] = _conv_bn_init(next(keys), 256, 256, 3)
     p["classifier"] = L.conv2d_init(next(keys), 256, num_classes, 1)
     return p
 
@@ -50,7 +84,9 @@ def _cb(p, x, padding="SAME", dilation=1):
     return jax.nn.relu(RN.batch_norm(p["bn"], x))
 
 
-def deeplabv3plus_apply(p, images, preprocess_input: bool = True):
+def deeplabv3plus_apply(p, images, preprocess_input: bool = True,
+                        backbone: str = "resnet50",
+                        output_stride: int = 16):
     """[0,1] NHWC images -> logits at input resolution (B, H, W, classes)."""
     h_in, w_in = images.shape[1:3]
     x = images
@@ -58,8 +94,8 @@ def deeplabv3plus_apply(p, images, preprocess_input: bool = True):
         mean = jnp.asarray(RN.IMAGENET_MEAN, x.dtype)
         std = jnp.asarray(RN.IMAGENET_STD, x.dtype)
         x = (x - mean) / std
-    feats = RN.resnet_features(p["backbone"], x, output_stride=16)
-    high, low = feats["c5"], feats["c2"]
+    feats = _backbone_features(p["backbone"], backbone, x, output_stride)
+    high, low = feats["high"], feats["low"]
 
     branches = [_cb(p["aspp"]["conv1x1"], high, padding=0)]
     for rate, bp in zip(ASPP_RATES, p["aspp"]["atrous"]):
@@ -71,11 +107,38 @@ def deeplabv3plus_apply(p, images, preprocess_input: bool = True):
     y = _cb(p["aspp"]["project"], jnp.concatenate(branches, axis=-1),
             padding=0)
 
-    y = resize_bilinear(y, (low.shape[1], low.shape[2]))
-    low = _cb(p["low_proj"], low, padding=0)
-    y = _cb(p["decoder"], jnp.concatenate([y, low], axis=-1))
+    if "low_proj" in p:  # DeepLabV3+ decoder
+        y = resize_bilinear(y, (low.shape[1], low.shape[2]))
+        low = _cb(p["low_proj"], low, padding=0)
+        y = _cb(p["decoder"], jnp.concatenate([y, low], axis=-1))
+    else:  # plain DeepLabV3
+        y = _cb(p["decoder"], y)
     logits = L.conv2d(p["classifier"], y, padding=0)
     return resize_bilinear(logits, (h_in, w_in))
+
+
+# the reference factory surface (modeling.py:171-353); hrnetv2 entries are
+# not rebuilt (vendored but unused by the runtime zoo,
+# segmentation/__init__.py:9-48)
+def deeplab_factory(name: str, num_classes: int = 19,
+                    output_stride: int = 16):
+    """Returns (init_fn(key), apply_fn(p, images)) for a modeling.py name,
+    e.g. 'deeplabv3plus_resnet50', 'deeplabv3_mobilenet'."""
+    plus = name.startswith("deeplabv3plus_")
+    backbone = name.split("_", 1)[1]
+    backbone = {"mobilenet": "mobilenetv2"}.get(backbone, backbone)
+    if backbone not in BACKBONE_CHANNELS:
+        raise ValueError(f"unknown deeplab variant {name}")
+
+    def init_fn(key):
+        return deeplabv3plus_init(key, num_classes, backbone, plus=plus)
+
+    def apply_fn(p, images, preprocess_input: bool = True):
+        return deeplabv3plus_apply(p, images, preprocess_input,
+                                   backbone=backbone,
+                                   output_stride=output_stride)
+
+    return init_fn, apply_fn
 
 
 def seg_cross_entropy_loss(logits, labels, ignore_index: int = 255):
