@@ -1,8 +1,15 @@
 """Benchmark: restored 512px images/sec/chip at 20-step DDIM (north star >= 8).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Runs the flagship full-size sd-turbo UniRestore restore pipeline (CFRM +
 Controller + SC-Tuner + TFA) in bf16 on the available chip.
+
+"value" is the EXACT reference-semantics pipeline. The extra
+"encoder_prop_value" field reports the same pipeline with Faster-Diffusion
+encoder propagation enabled (arXiv:2312.09608; Controller + UNet encoder
+cached across DDIM step pairs, ~2% relative latent deviation at 20 steps) —
+an opt-in inference acceleration, off by default in the framework.
+Set BENCH_ENCODER_PROP=1 to make it the primary value.
 """
 
 import json
@@ -14,47 +21,62 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_IMGS_PER_SEC = 8.0  # BASELINE.md north-star target per chip
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 STEPS = int(os.environ.get("BENCH_DDIM_STEPS", "20"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+PRIMARY_FAST = os.environ.get("BENCH_ENCODER_PROP") == "1"
+
+
+def _bench(run, frozen, trainable, images, rng):
+    # a host read of one element forces full device sync (block_until_ready
+    # alone does not reliably wait on this platform)
+    np.asarray(run(frozen, trainable, images, rng)[0, 0, 0])
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        np.asarray(run(frozen, trainable, images, rng)[0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    return BATCH / min(times)
 
 
 def main():
     from unirestore_tpu.models import unirestore as UR
 
-    cfg = UR.UniRestoreConfig(use_tfa=True, tasks=("ir", "cls", "seg"))
-    frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)
-    sched = UR.schedule(cfg)
-    frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
-    trainable = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
+    frozen = trainable = sched = None
+    results = {}
+    for fast in (False, True):
+        cfg = UR.UniRestoreConfig(use_tfa=True, tasks=("ir", "cls", "seg"),
+                                  encoder_propagation=fast)
+        if frozen is None:
+            frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)
+            sched = UR.schedule(cfg)
+            frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
+            trainable = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                                     trainable)
 
-    @jax.jit
-    def run(frozen_p, trainable_p, images, rng):
-        return UR.restore_padded(frozen_p, trainable_p, cfg, sched, images,
-                                 "ir", rng, num_inference_steps=STEPS)
+        @jax.jit
+        def run(frozen_p, trainable_p, images, rng, cfg=cfg):
+            return UR.restore_padded(frozen_p, trainable_p, cfg, sched,
+                                     images, "ir", rng,
+                                     num_inference_steps=STEPS)
 
-    images = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 512, 512, 3),
-                                jnp.bfloat16)
-    rng = jax.random.PRNGKey(2)
+        images = jax.random.uniform(jax.random.PRNGKey(1),
+                                    (BATCH, 512, 512, 3), jnp.bfloat16)
+        rng = jax.random.PRNGKey(2)
+        results[fast] = _bench(run, frozen, trainable, images, rng)
 
-    # warmup / compile
-    run(frozen, trainable, images, rng).block_until_ready()
-
-    times = []
-    for i in range(ITERS):
-        t0 = time.perf_counter()
-        run(frozen, trainable, images, rng).block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
-    imgs_per_sec = BATCH / best
+    primary = results[PRIMARY_FAST]
     print(json.dumps({
-        "metric": "512px restored images/sec/chip (20-step DDIM)",
-        "value": round(imgs_per_sec, 3),
+        "metric": "512px restored images/sec/chip (20-step DDIM)"
+                  + (" [encoder propagation]" if PRIMARY_FAST else ""),
+        "value": round(primary, 3),
         "unit": "img/s",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+        "vs_baseline": round(primary / BASELINE_IMGS_PER_SEC, 3),
+        "encoder_prop_value": round(results[True], 3),
+        "exact_value": round(results[False], 3),
     }))
 
 
