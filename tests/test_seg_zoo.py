@@ -97,7 +97,8 @@ def test_deeplab_factory_variants():
     x = jnp.ones((1, 32, 32, 3)) * 0.5
     for name in ("deeplabv3plus_resnet50", "deeplabv3_resnet50",
                  "deeplabv3plus_mobilenet", "deeplabv3_mobilenet",
-                 "deeplabv3plus_xception", "deeplabv3_xception"):
+                 "deeplabv3plus_xception", "deeplabv3_xception",
+                 "deeplabv3plus_hrnetv2_32", "deeplabv3_hrnetv2_48"):
         init_fn, apply_fn = DLB.deeplab_factory(name)
         p = init_fn(jax.random.PRNGKey(0))
         logits = apply_fn(p, x)
@@ -117,3 +118,12 @@ def test_mobilenet_xception_feature_contract():
     f = BB.xception_features(p, x, output_stride=16)
     assert f["low"].shape == (1, 16, 16, 128)
     assert f["high"].shape == (1, 4, 4, 2048)
+
+
+def test_hrnetv2_feature_contract():
+    from unirestore_tpu.tasks import backbones as BB
+    x = jnp.ones((1, 64, 64, 3))
+    p = BB.hrnetv2_init(jax.random.PRNGKey(0), width=32)
+    f = BB.hrnetv2_features(p, x, width=32)
+    assert f["low"].shape == (1, 16, 16, 256)
+    assert f["high"].shape == (1, 16, 16, 480)  # 32+64+128+256 at /4

@@ -26,15 +26,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[...]  # (BH_BLK, BQ, D)
     k = k_ref[...]  # (BH_BLK, T, D)
     v = v_ref[...]  # (BH_BLK, T, D)
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    s = s * scale  # (BH_BLK, BQ, T)
+    # softmax via exp2 (measurably faster on the VPU; exp(x) = 2^(x log2 e))
+    s = s * (scale * _LOG2E)  # (BH_BLK, BQ, T)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(p.astype(v.dtype), v,
                             (((2,), (1,)), ((0,), (0,))),
@@ -88,6 +92,8 @@ def fused_attention(q, k, v, scale: float, interpret: bool = False):
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(to_bh(q), to_bh(k), to_bh(v))
     return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)

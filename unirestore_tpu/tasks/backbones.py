@@ -174,3 +174,159 @@ def xception_features(p, x, output_stride: int = 16):
     h = jax.nn.relu(_sep(p["sep2"], h, dilation=exit_dil, relu_first=False))
     h = jax.nn.relu(_sep(p["sep3"], h, dilation=exit_dil, relu_first=False))
     return {"low": low, "high": h}
+
+
+# ---------------------------------------------------------------------------
+# HRNetV2 (deeplabv3 variant; reference backbone/hrnetv2.py)
+# ---------------------------------------------------------------------------
+
+HRNET_MODULES = {2: 1, 3: 4, 4: 3}     # modules per stage
+HRNET_BLOCKS = 4                        # BasicBlocks per branch per module
+
+
+def _basic_init(key, cin, cout):
+    ks = jax.random.split(key, 3)
+    p = {"conv1": _cbn_init(ks[0], cin, cout, 3),
+         "conv2": _cbn_init(ks[1], cout, cout, 3)}
+    if cin != cout:
+        p["down"] = _cbn_init(ks[2], cin, cout, 1)
+    return p
+
+
+def _basic(p, x):
+    h = jax.nn.relu(_cbn(p["conv1"], x, relu6=False))
+    h = _cbn(p["conv2"], h, relu6=False)
+    skip = _cbn(p["down"], x, relu6=False) if "down" in p else x
+    return jax.nn.relu(h + skip)
+
+
+def _bottleneck_init(key, cin, width, cout):
+    ks = jax.random.split(key, 4)
+    p = {"conv1": _cbn_init(ks[0], cin, width, 1),
+         "conv2": _cbn_init(ks[1], width, width, 3),
+         "conv3": _cbn_init(ks[2], width, cout, 1)}
+    if cin != cout:
+        p["down"] = _cbn_init(ks[3], cin, cout, 1)
+    return p
+
+
+def _bottleneck(p, x):
+    h = jax.nn.relu(_cbn(p["conv1"], x, relu6=False))
+    h = jax.nn.relu(_cbn(p["conv2"], h, relu6=False))
+    h = _cbn(p["conv3"], h, relu6=False)
+    skip = _cbn(p["down"], x, relu6=False) if "down" in p else x
+    return jax.nn.relu(h + skip)
+
+
+def _fuse_init(key, chans):
+    """Fuse layers: p[i][j] transforms branch j -> branch i resolution."""
+    n = len(chans)
+    ks = iter(jax.random.split(key, n * n * 4))
+    fuse = []
+    for i in range(n):
+        row = []
+        for j in range(n):
+            if j == i:
+                row.append(None)
+            elif j > i:  # upsample path: 1x1 to Ci (+ nearest resize)
+                row.append({"up": _cbn_init(next(ks), chans[j], chans[i],
+                                            1)})
+            else:        # downsample path: (i - j) strided 3x3 convs
+                downs = []
+                c = chans[j]
+                for step in range(i - j):
+                    cout = chans[i] if step == i - j - 1 else c
+                    downs.append(_cbn_init(next(ks), c, cout, 3))
+                    c = cout
+                row.append({"downs": downs})
+        fuse.append(row)
+    return fuse
+
+
+def _fuse(fuse_p, xs):
+    n = len(xs)
+    outs = []
+    for i in range(n):
+        acc = xs[i]
+        for j in range(n):
+            if j == i:
+                continue
+            pij = fuse_p[i][j]
+            if "up" in pij:
+                y = _cbn(pij["up"], xs[j], relu6=False)
+                y = L.resize_nearest(y, xs[i].shape[1:3])
+            else:
+                y = xs[j]
+                for step, dp in enumerate(pij["downs"]):
+                    last = step == len(pij["downs"]) - 1
+                    y = _cbn(dp, y, stride=2, relu6=False)
+                    if not last:
+                        y = jax.nn.relu(y)
+            acc = acc + y
+        outs.append(jax.nn.relu(acc))
+    return outs
+
+
+def _module_init(key, chans):
+    ks = iter(jax.random.split(key, len(chans) * HRNET_BLOCKS + 1))
+    return {
+        "branches": [[_basic_init(next(ks), c, c)
+                      for _ in range(HRNET_BLOCKS)] for c in chans],
+        "fuse": _fuse_init(next(ks), chans),
+    }
+
+
+def hrnetv2_init(key, width: int = 48):
+    ks = iter(jax.random.split(key, 64))
+    chans = [width * 2 ** i for i in range(4)]
+    p = {
+        "conv1": _cbn_init(next(ks), 3, 64, 3),
+        "conv2": _cbn_init(next(ks), 64, 64, 3),
+        "layer1": [_bottleneck_init(next(ks), 64 if i == 0 else 256, 64,
+                                    256) for i in range(4)],
+        "transitions": [], "stages": [],
+    }
+    prev = [256]
+    for s in (2, 3, 4):
+        cur = chans[:s]
+        trans = []
+        for i, c in enumerate(cur):
+            if i < len(prev):
+                trans.append(_cbn_init(next(ks), prev[i], c, 3)
+                             if prev[i] != c else None)
+            else:  # new branch from the last previous branch, stride 2
+                trans.append(_cbn_init(next(ks), prev[-1], c, 3))
+        p["transitions"].append(trans)
+        p["stages"].append([_module_init(next(ks), cur)
+                            for _ in range(HRNET_MODULES[s])])
+        prev = cur
+    return p
+
+
+def hrnetv2_features(p, x, width: int = 48):
+    chans = [width * 2 ** i for i in range(4)]
+    h = jax.nn.relu(_cbn(p["conv1"], x, stride=2, relu6=False))
+    h = jax.nn.relu(_cbn(p["conv2"], h, stride=2, relu6=False))
+    for blk in p["layer1"]:
+        h = _bottleneck(blk, h)
+    low = h  # 256 ch at /4
+    xs = [h]
+    for si, (trans, stage) in enumerate(zip(p["transitions"], p["stages"])):
+        nxt = []
+        for i, t in enumerate(trans):
+            if i < len(xs):
+                nxt.append(jax.nn.relu(_cbn(t, xs[i], relu6=False))
+                           if t is not None else xs[i])
+            else:
+                nxt.append(jax.nn.relu(_cbn(t, xs[-1], stride=2,
+                                            relu6=False)))
+        xs = nxt
+        for mod in stage:
+            xs = [x_ for x_ in xs]
+            for bi, branch in enumerate(mod["branches"]):
+                for blk in branch:
+                    xs[bi] = _basic(blk, xs[bi])
+            xs = _fuse(mod["fuse"], xs)
+    # HRNetV2 head: upsample all branches to /4 and concat (720 ch @ w48)
+    up = [xs[0]] + [L.resize_nearest(b, xs[0].shape[1:3]) for b in xs[1:]]
+    return {"low": low, "high": jnp.concatenate(up, axis=-1)}

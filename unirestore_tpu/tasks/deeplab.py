@@ -30,6 +30,7 @@ def _conv_bn_init(key, cin, cout, k):
 BACKBONE_CHANNELS = {
     "resnet50": (2048, 256), "resnet101": (2048, 256),
     "mobilenetv2": (320, 24), "xception": (2048, 128),
+    "hrnetv2_48": (720, 256), "hrnetv2_32": (480, 256),
 }
 
 
@@ -43,6 +44,8 @@ def _backbone_init(key, backbone: str):
         return BB.mobilenet_v2_init(key)
     if backbone == "xception":
         return BB.xception_init(key)
+    if backbone.startswith("hrnetv2"):
+        return BB.hrnetv2_init(key, width=int(backbone.split("_")[-1]))
     raise ValueError(f"unknown deeplab backbone {backbone}")
 
 
@@ -53,6 +56,8 @@ def _backbone_features(p, backbone: str, x, output_stride: int):
     from . import backbones as BB
     if backbone == "mobilenetv2":
         return BB.mobilenet_v2_features(p, x, output_stride)
+    if backbone.startswith("hrnetv2"):
+        return BB.hrnetv2_features(p, x, width=int(backbone.split("_")[-1]))
     return BB.xception_features(p, x, output_stride)
 
 
@@ -117,18 +122,20 @@ def deeplabv3plus_apply(p, images, preprocess_input: bool = True,
     return resize_bilinear(logits, (h_in, w_in))
 
 
-# the reference factory surface (modeling.py:171-353); hrnetv2 entries are
-# not rebuilt (vendored but unused by the runtime zoo,
-# segmentation/__init__.py:9-48)
+# the reference factory surface (modeling.py:171-353)
 def deeplab_factory(name: str, num_classes: int = 19,
                     output_stride: int = 16):
     """Returns (init_fn(key), apply_fn(p, images)) for a modeling.py name,
-    e.g. 'deeplabv3plus_resnet50', 'deeplabv3_mobilenet'."""
+    e.g. 'deeplabv3plus_resnet50', 'deeplabv3_mobilenet',
+    'deeplabv3plus_hrnetv2_48' (hrnet runs at output stride 4,
+    modeling.py:171-191)."""
     plus = name.startswith("deeplabv3plus_")
     backbone = name.split("_", 1)[1]
     backbone = {"mobilenet": "mobilenetv2"}.get(backbone, backbone)
     if backbone not in BACKBONE_CHANNELS:
         raise ValueError(f"unknown deeplab variant {name}")
+    if backbone.startswith("hrnetv2"):
+        output_stride = 4
 
     def init_fn(key):
         return deeplabv3plus_init(key, num_classes, backbone, plus=plus)
