@@ -140,3 +140,58 @@ def test_fused_attention_matches_reference():
     ref = jax.nn.dot_product_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_streaming_attention_matches_reference():
+    """Online-softmax K/V-streaming kernel (interpret mode) == XLA."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unirestore_tpu.nn.pallas_attention import (streaming_attention,
+                                                    stream_supported)
+
+    assert stream_supported(4096, 4096, 512)
+    assert not stream_supported(4096, 4096, 64)   # handled by fused kernel
+    assert not stream_supported(4096, 77, 512)    # cross-attention
+
+    b, t, h, d = 1, 1024, 1, 256
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, t, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, t, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, t, h, d), jnp.float32)
+    ours = streaming_attention(q, k, v, d ** -0.5, interpret=True)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_fused_attention_gradients():
+    """Custom-VJP wrapper: grads through the Pallas forward must match
+    grads of the XLA reference (training differentiates THROUGH the
+    frozen backbone attention)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unirestore_tpu.nn import pallas_attention as PA
+
+    raw = functools.partial(PA._fused_raw, interpret=True)
+    f = PA._make_diffable(lambda q, k, v, s: raw(q, k, v, s))
+    b, t, h, d = 1, 256, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, t, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, t, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, t, h, d), jnp.float32)
+    scale = d ** -0.5
+
+    def loss_pallas(q):
+        return (f(q, k, v, scale) ** 2).sum()
+
+    def loss_ref(q):
+        return (PA._xla_reference(q, k, v, scale) ** 2).sum()
+
+    g1 = jax.grad(loss_pallas)(q)
+    g2 = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-2,
+                               rtol=2e-2)

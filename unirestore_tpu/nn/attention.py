@@ -66,6 +66,15 @@ def _use_fused(t: int, s: int, dim_head: int) -> bool:
     return PA.supported(t, s, dim_head)
 
 
+def _use_streaming(t: int, s: int, dim_head: int) -> bool:
+    """Wide-head self-attention (VAE mid block: one 512-d head at 4096
+    tokens) goes through the online-softmax K/V-streaming kernel."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from . import pallas_attention as PA
+    return PA.stream_supported(t, s, dim_head)
+
+
 def mha(p, x, context=None, heads: int = 8):
     """Multi-head attention over (B, T, C) with optional (B, S, Cctx) context."""
     ctx = x if context is None else context
@@ -81,6 +90,9 @@ def mha(p, x, context=None, heads: int = 8):
     if _use_fused(t, s, dim_head):
         from .pallas_attention import fused_attention
         o = fused_attention(q, k, v, float(dim_head) ** -0.5)
+    elif _use_streaming(t, s, dim_head):
+        from .pallas_attention import streaming_attention
+        o = streaming_attention(q, k, v, float(dim_head) ** -0.5)
     elif _use_flash(t, s, dim_head):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention)

@@ -68,8 +68,79 @@ def supported(t: int, s: int, d: int) -> bool:
     return t == s and t >= 256 and t % 8 == 0 and d % 64 == 0 and d <= 128
 
 
+def _stream_kernel(q_ref, k_ref, v_ref, o_ref, acc, m, l, *, scale: float):
+    """Online-softmax variant: K/V streamed in chunks over the last grid
+    dim (for wide heads whose full K/V would crowd VMEM, e.g. the VAE mid
+    block's single 512-d head)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        m[...] = jnp.full_like(m, -1e30)
+        l[...] = jnp.zeros_like(l)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * (scale * _LOG2E)
+    m_prev = m[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    corr = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    l[...] = l[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc[...] = acc[...] * corr + pv
+    m[...] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc[...] / l[...]).astype(o_ref.dtype)
+
+
+def stream_supported(t: int, s: int, d: int) -> bool:
+    return (t == s and t >= 1024 and t % 1024 == 0 and 128 < d <= 512
+            and d % 128 == 0)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def fused_attention(q, k, v, scale: float, interpret: bool = False):
+def _streaming_raw(q, k, v, scale: float, interpret: bool = False):
+    """(B, T, H, D) self-attention with chunked K/V for wide heads."""
+    b, t, h, d = q.shape
+    bh = b * h
+    bq, ck = 256, 1024
+    grid = (bh, t // bq, t // ck)
+    q_spec = pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0))
+    kv_spec = pl.BlockSpec((1, ck, d), lambda i, qi, ki: (i, ki, 0))
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(bh, t, d)
+
+    out = pl.pallas_call(
+        functools.partial(_stream_kernel, scale=scale),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(to_bh(q), to_bh(k), to_bh(v))
+    return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_raw(q, k, v, scale: float, interpret: bool = False):
     """q, k, v: (B, T, H, D) -> (B, T, H, D). Non-causal self-attention.
 
     Internally runs on (B*H, T, D) (Pallas block alignment wants the last
@@ -97,3 +168,55 @@ def fused_attention(q, k, v, scale: float, interpret: bool = False):
         interpret=interpret,
     )(to_bh(q), to_bh(k), to_bh(v))
     return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# autodiff: Pallas forward, XLA-graph backward
+# ---------------------------------------------------------------------------
+# Training differentiates THROUGH the frozen UNet/VAE attention (CFRM /
+# Controller / SC-Tuner gradients flow via the backbone), and Pallas
+# kernels have no automatic reverse rule. The backward pass recomputes
+# attention as a plain XLA graph and differentiates that — mathematically
+# identical, paying the (T, T) materialization only on the training path.
+# (A dedicated flash-style backward kernel is a future optimization.)
+
+
+def _xla_reference(q, k, v, scale: float):
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", p, v)
+
+
+def _make_diffable(raw):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def f(q, k, v, scale):
+        return raw(q, k, v, scale)
+
+    def fwd(q, k, v, scale):
+        return raw(q, k, v, scale), (q, k, v)
+
+    def bwd(scale, res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale),
+                         q, k, v)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_fused_diffable = _make_diffable(_fused_raw)
+_streaming_diffable = _make_diffable(_streaming_raw)
+
+
+def fused_attention(q, k, v, scale: float, interpret: bool = False):
+    if interpret:
+        return _fused_raw(q, k, v, scale, interpret=True)
+    return _fused_diffable(q, k, v, scale)
+
+
+def streaming_attention(q, k, v, scale: float, interpret: bool = False):
+    if interpret:
+        return _streaming_raw(q, k, v, scale, interpret=True)
+    return _streaming_diffable(q, k, v, scale)
