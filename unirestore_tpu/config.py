@@ -85,6 +85,7 @@ def build(cfg: dict, tiny: bool = False):
         log_every_n_steps=t.get("log_every_n_steps", 25),
         accumulate_grad_batches=t.get("accumulate_grad_batches", 1),
         default_root_dir=root,
+        num_sanity_val_steps=t.get("num_sanity_val_steps", 0),
         limit_val_batches=t.get("limit_val_batches"),
         seed=cfg.get("seed_everything", 42),
         profiler=t.get("profiler"),

@@ -219,6 +219,7 @@ class Trainer:
         self.root = default_root_dir
         self.save_top_k = save_top_k
         self.monitor_mode = monitor_mode
+        self.num_sanity_val_steps = num_sanity_val_steps
         self.limit_val_batches = limit_val_batches
         self.seed = seed
         self.profiler = profiler  # logdir for a jax device trace, or None
@@ -262,6 +263,26 @@ class Trainer:
                     frozen, engine.cfg, engine.sched, engine.stage, tx, task,
                     te_loss_fn=te_fn, donate=True)
             return steps_by_task[task]
+
+        # sanity validation before fit (Lightning num_sanity_val_steps,
+        # train_stage1.yaml:25)
+        if self.num_sanity_val_steps and evaluator_factory and data:
+            print(f"[sanity] running {self.num_sanity_val_steps} "
+                  "validation steps")
+            evaluator = evaluator_factory(engine)
+            loaders = data.val_dataloader()
+            if not isinstance(loaders, (list, tuple)):
+                loaders = [loaders]
+            n = 0
+            for loader in loaders:
+                for b in loader:
+                    evaluator.validation_step(b)
+                    n += 1
+                    if n >= self.num_sanity_val_steps:
+                        break
+                if n >= self.num_sanity_val_steps:
+                    break
+            evaluator.epoch_end()
 
         mgr = CKPT.CheckpointManager(os.path.join(self.root, "checkpoints"),
                                      self.save_top_k, self.monitor_mode)
