@@ -75,31 +75,54 @@ def _use_streaming(t: int, s: int, dim_head: int) -> bool:
     return PA.stream_supported(t, s, dim_head)
 
 
+def _proj_head_major(pp, src, heads: int, dim_head: int):
+    """Project (B, T, C) -> (B*heads, T, dim_head) in one einsum — the
+    head transpose rides inside the matmul output write, so no relayout
+    copy is materialized around the Pallas kernels."""
+    b, t, c = src.shape
+    w = pp["w"].astype(src.dtype).reshape(c, heads, dim_head)
+    y = jnp.einsum("btc,chd->bhtd", src, w)
+    if "b" in pp:
+        y = y + pp["b"].astype(src.dtype).reshape(heads, dim_head)[
+            None, :, None, :]
+    return y.reshape(b * heads, t, dim_head)
+
+
 def mha(p, x, context=None, heads: int = 8):
     """Multi-head attention over (B, T, C) with optional (B, S, Cctx) context."""
     ctx = x if context is None else context
-    q = L.linear(p["to_q"], x)
-    k = L.linear(p["to_k"], ctx)
-    v = L.linear(p["to_v"], ctx)
-    b, t, inner = q.shape
-    s = k.shape[1]
+    b, t, _ = x.shape
+    s = ctx.shape[1]
+    inner = p["to_q"]["w"].shape[1]
     dim_head = inner // heads
-    q = q.reshape(b, t, heads, dim_head)
-    k = k.reshape(b, s, heads, dim_head)
-    v = v.reshape(b, s, heads, dim_head)
-    if _use_fused(t, s, dim_head):
-        from .pallas_attention import fused_attention
-        o = fused_attention(q, k, v, float(dim_head) ** -0.5)
-    elif _use_streaming(t, s, dim_head):
-        from .pallas_attention import streaming_attention
-        o = streaming_attention(q, k, v, float(dim_head) ** -0.5)
-    elif _use_flash(t, s, dim_head):
+    scale = float(dim_head) ** -0.5
+
+    use_fused = _use_fused(t, s, dim_head)
+    use_streaming = not use_fused and _use_streaming(t, s, dim_head)
+    if use_fused or use_streaming:
+        from .pallas_attention import (fused_attention_bh,
+                                       streaming_attention_bh)
+        qb = _proj_head_major(p["to_q"], x, heads, dim_head)
+        kb = _proj_head_major(p["to_k"], ctx, heads, dim_head)
+        vb = _proj_head_major(p["to_v"], ctx, heads, dim_head)
+        kernel = fused_attention_bh if use_fused else streaming_attention_bh
+        ob = kernel(qb, kb, vb, scale)  # (B*H, T, D)
+        ob = ob.reshape(b, heads, t, dim_head)
+        wo = p["to_out"]["w"].astype(x.dtype).reshape(heads, dim_head, -1)
+        out = jnp.einsum("bhtd,hdc->btc", ob, wo)
+        if "b" in p["to_out"]:
+            out = out + p["to_out"]["b"].astype(x.dtype)
+        return out
+
+    q = L.linear(p["to_q"], x).reshape(b, t, heads, dim_head)
+    k = L.linear(p["to_k"], ctx).reshape(b, s, heads, dim_head)
+    v = L.linear(p["to_v"], ctx).reshape(b, s, heads, dim_head)
+    if _use_flash(t, s, dim_head):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention)
         o = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), causal=False,
-            sm_scale=float(dim_head) ** -0.5)
+            v.transpose(0, 2, 1, 3), causal=False, sm_scale=scale)
         o = o.transpose(0, 2, 1, 3)
     else:
         o = jax.nn.dot_product_attention(q, k, v)

@@ -109,19 +109,14 @@ def stream_supported(t: int, s: int, d: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _streaming_raw(q, k, v, scale: float, interpret: bool = False):
-    """(B, T, H, D) self-attention with chunked K/V for wide heads."""
-    b, t, h, d = q.shape
-    bh = b * h
+def _streaming_raw_bh(q, k, v, scale: float, interpret: bool = False):
+    """(BH, T, D) self-attention with chunked K/V for wide heads."""
+    bh, t, d = q.shape
     bq, ck = 256, 1024
     grid = (bh, t // bq, t // ck)
     q_spec = pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0))
     kv_spec = pl.BlockSpec((1, ck, d), lambda i, qi, ki: (i, ki, 0))
-
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(bh, t, d)
-
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_stream_kernel, scale=scale),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],
@@ -135,29 +130,34 @@ def _streaming_raw(q, k, v, scale: float, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(to_bh(q), to_bh(k), to_bh(v))
+    )(q, k, v)
+
+
+def _streaming_raw(q, k, v, scale: float, interpret: bool = False):
+    """(B, T, H, D) wrapper around the (BH, T, D) streaming kernel."""
+    b, t, h, d = q.shape
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+
+    out = _streaming_raw_bh(to_bh(q), to_bh(k), to_bh(v), scale, interpret)
     return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _fused_raw(q, k, v, scale: float, interpret: bool = False):
-    """q, k, v: (B, T, H, D) -> (B, T, H, D). Non-causal self-attention.
+def _fused_raw_bh(q, k, v, scale: float, interpret: bool = False):
+    """q, k, v: (BH, T, D) -> (BH, T, D). Non-causal self-attention.
 
-    Internally runs on (B*H, T, D) (Pallas block alignment wants the last
-    two dims to be the (sequence, feature) pair); the transposes are cheap
-    relative to the avoided (T, T) HBM round-trip.
+    Pallas block alignment wants the last two dims to be the
+    (sequence, feature) pair, so the head-major flattened layout is the
+    kernel-native one.
     """
-    b, t, h, d = q.shape
-    bh = b * h
+    bh, t, d = q.shape
     bhb, bq = _pick_blocks(bh, t, d)
     grid = (bh // bhb, t // bq)
     q_spec = pl.BlockSpec((bhb, bq, d), lambda i, qi: (i, qi, 0))
     kv_spec = pl.BlockSpec((bhb, t, d), lambda i, qi: (i, 0, 0))
-
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(bh, t, d)
-
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],
@@ -166,7 +166,17 @@ def _fused_raw(q, k, v, scale: float, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(to_bh(q), to_bh(k), to_bh(v))
+    )(q, k, v)
+
+
+def _fused_raw(q, k, v, scale: float, interpret: bool = False):
+    """(B, T, H, D) wrapper around the (BH, T, D) kernel."""
+    b, t, h, d = q.shape
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+
+    out = _fused_raw_bh(to_bh(q), to_bh(k), to_bh(v), scale, interpret)
     return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
 
 
@@ -206,8 +216,35 @@ def _make_diffable(raw):
     return f
 
 
+def _xla_reference_bh(q, k, v, scale: float):
+    logits = jnp.einsum("atd,asd->ats", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("ats,asd->atd", p, v)
+
+
+def _make_diffable_bh(raw):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def f(q, k, v, scale):
+        return raw(q, k, v, scale)
+
+    def fwd(q, k, v, scale):
+        return raw(q, k, v, scale), (q, k, v)
+
+    def bwd(scale, res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(lambda a, b, c: _xla_reference_bh(a, b, c, scale),
+                         q, k, v)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 _fused_diffable = _make_diffable(_fused_raw)
 _streaming_diffable = _make_diffable(_streaming_raw)
+_fused_diffable_bh = _make_diffable_bh(_fused_raw_bh)
+_streaming_diffable_bh = _make_diffable_bh(_streaming_raw_bh)
 
 
 def fused_attention(q, k, v, scale: float, interpret: bool = False):
@@ -220,3 +257,14 @@ def streaming_attention(q, k, v, scale: float, interpret: bool = False):
     if interpret:
         return _streaming_raw(q, k, v, scale, interpret=True)
     return _streaming_diffable(q, k, v, scale)
+
+
+def fused_attention_bh(q, k, v, scale: float):
+    """(BH, T, D) entry — no relayout when the projections already emit
+    head-major activations (attention.py fuses the transpose into the
+    projection einsum)."""
+    return _fused_diffable_bh(q, k, v, scale)
+
+
+def streaming_attention_bh(q, k, v, scale: float):
+    return _streaming_diffable_bh(q, k, v, scale)
