@@ -80,6 +80,23 @@ class ImageRestorationEvaluator:
                        for etype in self.eval_types}
         self.save_dir = save_dir  # per-image PNG dumps (reference
         # eval_image_restoration.py:84-98) into save_dir/{hq,lq}/
+        self.logger = None  # optional MetricLogger for batch-0 grids
+        self._batch_idx = 0
+
+    def set_logger(self, logger, step: int = 0):
+        """Attach a MetricLogger; inputs/preds of the first val batch are
+        logged as image grids (eval_image_restoration.py:138-160)."""
+        self.logger = logger
+        self._log_step = step
+        self._batch_idx = 0
+
+    def _maybe_log_grid(self, etype, imgs, preds):
+        if self.logger is None or self._batch_idx > 0:
+            return
+        self.logger.log_images(getattr(self, "_log_step", 0),
+                               f"val_{etype}/inputs", np.clip(imgs, 0, 1))
+        self.logger.log_images(getattr(self, "_log_step", 0),
+                               f"val_{etype}/preds", preds)
 
     def _maybe_save(self, etype, preds, fnames):
         if self.save_dir is None or fnames is None:
@@ -108,6 +125,7 @@ class ImageRestorationEvaluator:
             pred = np.asarray(self.restore_fn(imgs, "ir"), np.float32)
             pred = M.quantize_preds(pred)
             self._maybe_save(etype, pred, batch.get("fname"))
+            self._maybe_log_grid(etype, imgs, pred)
             if hq is not None and self.eval_mode in ("FR", "ALL"):
                 target = np.clip(hq, 0, 1).astype(np.float32)
                 mm = self.task_metric.metrics[etype]
@@ -124,6 +142,7 @@ class ImageRestorationEvaluator:
             if self.nr:
                 for m in self.nr[etype].values():
                     m.update(pred)
+        self._batch_idx += 1
         return pred
 
     def epoch_end(self, prefix: str = "val"):

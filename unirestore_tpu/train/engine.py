@@ -348,6 +348,8 @@ class Trainer:
 
     def validate(self, engine: UniFIEEngine, data, evaluator_factory):
         evaluator = evaluator_factory(engine)
+        if hasattr(evaluator, "set_logger"):
+            evaluator.set_logger(self.logger)
         loaders = data.val_dataloader()
         if not isinstance(loaders, (list, tuple)):
             loaders = [loaders]
