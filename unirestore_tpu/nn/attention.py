@@ -56,11 +56,41 @@ def _use_flash(t: int, s: int, dim_head: int) -> bool:
             and dim_head <= 256)
 
 
+import contextlib as _contextlib
+
+_FORCE_XLA = False
+
+
+@_contextlib.contextmanager
+def force_xla_attention():
+    """Trace-time switch to the pure-XLA attention path.
+
+    Training steps trace inside this context: the Pallas kernels carry a
+    custom VJP whose backward is an XLA graph anyway, and the mixed
+    pallas-forward/XLA-backward training graph is what overwhelms this
+    platform's remote compiler. Inference keeps the Pallas kernels.
+    """
+    global _FORCE_XLA
+    prev = _FORCE_XLA
+    _FORCE_XLA = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = prev
+
+
+def _pallas_enabled() -> bool:
+    import os
+    return (not _FORCE_XLA
+            and jax.default_backend() in ("tpu", "axon")
+            and os.environ.get("UNIRESTORE_DISABLE_PALLAS_ATTN") != "1")
+
+
 def _use_fused(t: int, s: int, dim_head: int) -> bool:
     """Route spatial self-attention through our Pallas kernel (keeps the
     (T, T) logits in VMEM instead of a fp32 HBM round-trip — measured
     2-3x faster than XLA attention at the SD UNet shapes on v5e)."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    if not _pallas_enabled():
         return False
     from . import pallas_attention as PA
     return PA.supported(t, s, dim_head)
@@ -69,7 +99,7 @@ def _use_fused(t: int, s: int, dim_head: int) -> bool:
 def _use_streaming(t: int, s: int, dim_head: int) -> bool:
     """Wide-head self-attention (VAE mid block: one 512-d head at 4096
     tokens) goes through the online-softmax K/V-streaming kernel."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    if not _pallas_enabled():
         return False
     from . import pallas_attention as PA
     return PA.stream_supported(t, s, dim_head)

@@ -178,8 +178,10 @@ def make_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
                               rng, task, te_loss_fn)
 
     def step(trainable, opt_state, batch, rng):
-        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, batch, rng)
+        from ..nn.attention import force_xla_attention
+        with force_xla_attention():  # trace-time: see attention.py
+            (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, batch, rng)
         mask = trainable_filter(stage, trainable)
         grads = apply_grad_mask(grads, mask)
         updates, opt_state = tx.update(grads, opt_state, trainable)
