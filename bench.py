@@ -4,12 +4,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Runs the flagship full-size sd-turbo UniRestore restore pipeline (CFRM +
 Controller + SC-Tuner + TFA) in bf16 on the available chip.
 
-"value" is the EXACT reference-semantics pipeline. The extra
-"encoder_prop_value" field reports the same pipeline with Faster-Diffusion
-encoder propagation enabled (arXiv:2312.09608; Controller + UNet encoder
-cached across DDIM step pairs, ~2% relative latent deviation at 20 steps) —
-an opt-in inference acceleration, off by default in the framework.
-Set BENCH_ENCODER_PROP=1 to make it the primary value.
+"value" is the EXACT reference-semantics pipeline. Two opt-in cached
+inference modes (both OFF by default in the framework) are reported as
+extra fields:
+
+- "encoder_prop_value": Faster-Diffusion encoder propagation
+  (arXiv:2312.09608; Controller + UNet encoder cached across DDIM step
+  pairs, ~2% relative latent deviation at 20 steps).
+- "turbo_value": DeepCache-style deep-feature caching (arXiv:2312.00858)
+  at key-step stride BENCH_TURBO_STRIDE (default 4): follower steps
+  recompute only the full-resolution UNet level against the cached deep
+  feature.
+
+Each mode runs in its own subprocess: this platform's remote-compile
+tunnel can die on one large XLA module without poisoning the others.
+
+Set BENCH_ENCODER_PROP=1 or BENCH_TURBO=1 to make one of them the primary
+value instead.
 """
 
 import json
@@ -27,7 +38,10 @@ BASELINE_IMGS_PER_SEC = 8.0  # BASELINE.md north-star target per chip
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 STEPS = int(os.environ.get("BENCH_DDIM_STEPS", "20"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
-PRIMARY_FAST = os.environ.get("BENCH_ENCODER_PROP") == "1"
+TURBO_STRIDE = int(os.environ.get("BENCH_TURBO_STRIDE", "4"))
+PRIMARY = ("encoder" if os.environ.get("BENCH_ENCODER_PROP") == "1"
+           else "deep" if os.environ.get("BENCH_TURBO") == "1"
+           else "none")
 
 
 def _bench(run, frozen, trainable, images, rng):
@@ -42,41 +56,61 @@ def _bench(run, frozen, trainable, images, rng):
     return BATCH / min(times)
 
 
-def main():
+def _bench_mode(mode: str, stride: int) -> float:
     from unirestore_tpu.models import unirestore as UR
 
-    frozen = trainable = sched = None
+    cfg = UR.UniRestoreConfig(use_tfa=True, tasks=("ir", "cls", "seg"),
+                              cache_mode=mode, cache_stride=stride)
+    frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)
+    sched = UR.schedule(cfg)
+    frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
+    trainable = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
+
+    @jax.jit
+    def run(frozen_p, trainable_p, images, rng):
+        return UR.restore_padded(frozen_p, trainable_p, cfg, sched,
+                                 images, "ir", rng,
+                                 num_inference_steps=STEPS)
+
+    images = jax.random.uniform(jax.random.PRNGKey(1),
+                                (BATCH, 512, 512, 3), jnp.bfloat16)
+    rng = jax.random.PRNGKey(2)
+    return _bench(run, frozen, trainable, images, rng)
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE")
+    if mode:  # child: one mode per process (isolates the remote compiler)
+        stride = {"none": 1, "encoder": 2, "deep": TURBO_STRIDE}[mode]
+        print("RESULT " + json.dumps({mode: _bench_mode(mode, stride)}))
+        return
+
+    import subprocess
     results = {}
-    for fast in (False, True):
-        cfg = UR.UniRestoreConfig(use_tfa=True, tasks=("ir", "cls", "seg"),
-                                  encoder_propagation=fast)
-        if frozen is None:
-            frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)
-            sched = UR.schedule(cfg)
-            frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
-            trainable = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
-                                     trainable)
+    for m in ("none", "encoder", "deep"):
+        env = dict(os.environ, BENCH_MODE=m)
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              capture_output=True, text=True, env=env)
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                results.update(json.loads(line[len("RESULT "):]))
+        if m not in results:
+            print(f"# mode {m} failed:\n{proc.stdout[-2000:]}"
+                  f"\n{proc.stderr[-2000:]}", file=sys.stderr)
+            results[m] = 0.0
 
-        @jax.jit
-        def run(frozen_p, trainable_p, images, rng, cfg=cfg):
-            return UR.restore_padded(frozen_p, trainable_p, cfg, sched,
-                                     images, "ir", rng,
-                                     num_inference_steps=STEPS)
-
-        images = jax.random.uniform(jax.random.PRNGKey(1),
-                                    (BATCH, 512, 512, 3), jnp.bfloat16)
-        rng = jax.random.PRNGKey(2)
-        results[fast] = _bench(run, frozen, trainable, images, rng)
-
-    primary = results[PRIMARY_FAST]
+    primary = results[PRIMARY]
+    label = {"none": "", "encoder": " [encoder propagation]",
+             "deep": f" [deep cache /{TURBO_STRIDE}]"}[PRIMARY]
     print(json.dumps({
-        "metric": "512px restored images/sec/chip (20-step DDIM)"
-                  + (" [encoder propagation]" if PRIMARY_FAST else ""),
+        "metric": "512px restored images/sec/chip (20-step DDIM)" + label,
         "value": round(primary, 3),
         "unit": "img/s",
         "vs_baseline": round(primary / BASELINE_IMGS_PER_SEC, 3),
-        "encoder_prop_value": round(results[True], 3),
-        "exact_value": round(results[False], 3),
+        "exact_value": round(results["none"], 3),
+        "encoder_prop_value": round(results["encoder"], 3),
+        "turbo_value": round(results["deep"], 3),
+        "turbo_stride": TURBO_STRIDE,
     }))
 
 

@@ -88,6 +88,75 @@ def test_unet_encode_decode_composition():
     assert jnp.allclose(full, split), "encode+decode != apply"
 
 
+def test_unet_shallow_path_matches_full_forward():
+    """DeepCache refactor guard: with the deep feature taken from the SAME
+    step, unet_down_shallow + unet_up_shallow must reproduce unet_apply
+    exactly (the approximation only comes from reusing ``deep`` across
+    steps)."""
+    import jax
+    import jax.numpy as jnp
+    from unirestore_tpu.models import unet as UN
+
+    cfg = UN.tiny_unet_config("scedit")
+    p = UN.unet_init(jax.random.PRNGKey(0), cfg)
+    ctrl_p = UN.control_adapters_init(jax.random.PRNGKey(3), cfg)
+    # non-zero adapters so the SC-Tuner path is actually exercised
+    ctrl_p = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(4), x.shape),
+        ctrl_p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    ts = jnp.full((1,), 499, jnp.int32)
+    ehs = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, 77, cfg.cross_attention_dim))
+    control = [jax.random.normal(jax.random.PRNGKey(10 + i),
+                                 (1, 16 // 2**i, 16 // 2**i,
+                                  cfg.control_channels)) * 0.1
+               for i in range(4)]
+    emb = UN.unet_time_embedding(p, cfg, ts, x.dtype)
+    h, skips = UN.unet_encode(p, cfg, x, emb, ehs, control, ctrl_p)
+    full, deep = UN.unet_decode(p, cfg, h, skips, emb, ehs, control, ctrl_p,
+                                return_deep=True)
+    skips0 = UN.unet_down_shallow(p, cfg, x, emb, ehs, control, ctrl_p)
+    shallow = UN.unet_up_shallow(p, cfg, deep, skips0, emb, ehs, control,
+                                 ctrl_p)
+    assert jnp.allclose(full, shallow, atol=1e-5), "shallow path != full"
+
+
+def test_ddim_deep_cache_runs_and_bounded():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unirestore_tpu.models import unirestore as UR
+
+    cfg = UR.tiny_config()
+    frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)
+    sched = UR.schedule(cfg)
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4)) * 0.3
+    zt, _, _ = UR.diffuse(sched, z0, jax.random.PRNGKey(2),
+                          jnp.full((1,), 999, jnp.int32))
+    full = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                           num_inference_steps=6)
+    for stride in (2, 3):
+        fast = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                               num_inference_steps=6, cache_mode="deep",
+                               cache_stride=stride)
+        assert fast.shape == full.shape
+        a = np.asarray(full, np.float64)
+        b = np.asarray(fast, np.float64)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+        assert np.isfinite(rel)
+    # stride that doesn't divide the step count exercises the full-step tail
+    fast5 = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                            num_inference_steps=5, cache_mode="deep",
+                            cache_stride=3)
+    assert fast5.shape == full.shape
+    # stride > 1 with mode "none" stays exact
+    exact = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                            num_inference_steps=6, cache_mode="none",
+                            cache_stride=3)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(full), atol=1e-6)
+
+
 def test_ddim_encoder_propagation_runs_and_bounded():
     import jax
     import jax.numpy as jnp

@@ -165,6 +165,33 @@ def test_streaming_attention_matches_reference():
                                atol=2e-3, rtol=2e-3)
 
 
+def test_prescaled_attention_matches_reference():
+    """Weight-side scale folding: kernel fed q * (scale * log2 e) with
+    logit_scale=1 must equal plain softmax(q k^T scale) v, in both the
+    Pallas forward (interpret) and the XLA backward (scale = ln 2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unirestore_tpu.nn import pallas_attention as PA
+
+    bh, t, d = 4, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (bh, t, d), jnp.float32)
+    k = jax.random.normal(ks[1], (bh, t, d), jnp.float32)
+    v = jax.random.normal(ks[2], (bh, t, d), jnp.float32)
+    scale = d ** -0.5
+    q_pre = q * (scale * PA._LOG2E)
+    ours = PA._fused_raw_bh(q_pre, k, v, PA._LN2, interpret=True,
+                            prescaled=True)
+    ref = PA._xla_reference_bh(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    # backward consistency: softmax_e(x * ln2) == softmax_2(x)
+    ref2 = PA._xla_reference_bh(q_pre, k, v, PA._LN2)
+    np.testing.assert_allclose(np.asarray(ref2), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_fused_attention_gradients():
     """Custom-VJP wrapper: grads through the Pallas forward must match
     grads of the XLA reference (training differentiates THROUGH the

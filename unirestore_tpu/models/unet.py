@@ -251,16 +251,25 @@ def unet_encode(p, cfg: UNetConfig, sample, emb, encoder_hidden_states,
 
 
 def unet_decode(p, cfg: UNetConfig, h, skips, emb, encoder_hidden_states,
-                control=None, control_params=None):
+                control=None, control_params=None, return_deep: bool = False):
     """UNet up path + head (base_model.py:164-209). ``skips`` is not
-    mutated."""
+    mutated.
+
+    With ``return_deep=True`` also returns the input feature of the
+    shallowest up block (after the previous block's upsample) — the tensor
+    cached by the DeepCache-style inference mode (arXiv:2312.00858), see
+    ``unet_up_shallow``.
+    """
     use_spade = (control is not None and control_params is not None
                  and "spades" in control_params)
     spades = control_params["spades"] if use_spade else None
     skips = list(skips)
 
     n_levels = len(cfg.block_out_channels)
+    deep = None
     for i, blk in enumerate(p["up_blocks"]):
+        if i == len(p["up_blocks"]) - 1:
+            deep = h
         blk_idx = n_levels - 1 - i
         for j, res in enumerate(blk["resnets"]):
             skip = skips.pop()
@@ -274,6 +283,68 @@ def unet_decode(p, cfg: UNetConfig, h, skips, emb, encoder_hidden_states,
                                      groups=cfg.norm_num_groups)
         if "upsample" in blk:
             h = R.upsample(blk["upsample"], h)
+
+    h = L.silu(L.group_norm(p["conv_norm_out"], h, groups=cfg.norm_num_groups,
+                            eps=cfg.eps))
+    h = L.conv2d(p["conv_out"], h, padding=1)
+    if return_deep:
+        return h, deep
+    return h
+
+
+def unet_down_shallow(p, cfg: UNetConfig, sample, emb, encoder_hidden_states,
+                      control=None, control_params=None):
+    """Level-0 down path only: conv_in + the first down block's resnets
+    (+ attention), WITHOUT its downsample — everything deeper is served
+    from the DeepCache-cached feature at follower steps. Returns the three
+    full-resolution skips (after SC-Tuner injection when configured),
+    matching the tensors ``unet_decode``'s last up block pops."""
+    use_scedit = (control is not None and control_params is not None
+                  and "csc_editors" in control_params)
+    use_spade = (control is not None and control_params is not None
+                 and "spades" in control_params)
+    spades = control_params["spades"] if use_spade else None
+
+    h = L.conv2d(p["conv_in"], sample, padding=1)
+    skips = [h]
+    blk = p["down_blocks"][0]
+    for j, res in enumerate(blk["resnets"]):
+        sp = spades["down"][0][j] if use_spade else None
+        h = _resnet_maybe_spade(res, h, emb, cfg, sp, control, 0)
+        if blk["attentions"]:
+            h = T.transformer_2d(blk["attentions"][j], h,
+                                 encoder_hidden_states, heads=cfg.heads[0],
+                                 groups=cfg.norm_num_groups)
+        skips.append(h)
+    if use_scedit:
+        # the first len(skips) editors/scale-indices are the level-0 ones
+        skips = [SC.csce_adapter(ed, s, control[0])
+                 for ed, s in zip(control_params["csc_editors"], skips)]
+    return skips
+
+
+def unet_up_shallow(p, cfg: UNetConfig, deep, skips0, emb,
+                    encoder_hidden_states, control=None, control_params=None):
+    """Shallowest up block + head, fed by the cached deep feature
+    (``deep`` = what the full forward passes into its last up block) and
+    the level-0 skips from ``unet_down_shallow``."""
+    use_spade = (control is not None and control_params is not None
+                 and "spades" in control_params)
+    spades = control_params["spades"] if use_spade else None
+    skips = list(skips0)
+
+    i = len(p["up_blocks"]) - 1
+    blk = p["up_blocks"][i]
+    h = deep
+    for j, res in enumerate(blk["resnets"]):
+        skip = skips.pop()
+        h = jnp.concatenate([h, skip], axis=-1)
+        sp = spades["up"][i][j] if use_spade else None
+        h = _resnet_maybe_spade(res, h, emb, cfg, sp, control, 0)
+        if blk["attentions"]:
+            h = T.transformer_2d(blk["attentions"][j], h,
+                                 encoder_hidden_states, heads=cfg.heads[0],
+                                 groups=cfg.norm_num_groups)
 
     h = L.silu(L.group_norm(p["conv_norm_out"], h, groups=cfg.norm_num_groups,
                             eps=cfg.eps))

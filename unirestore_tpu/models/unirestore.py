@@ -51,6 +51,17 @@ class UniRestoreConfig:
     # 2312.09608): cache Controller + UNet encoder at key steps, run only
     # the decoder at follower steps. Approximate; off = exact reference.
     encoder_propagation: bool = False
+    # Cached-inference mode for the DDIM loop. "none" = exact reference
+    # semantics; "encoder" = Faster-Diffusion encoder propagation (above);
+    # "deep" = DeepCache-style (arXiv:2312.00858): at follower steps reuse
+    # the cached deep UNet feature and recompute only the full-resolution
+    # level (down block 0 + last up block + SC-Tuner level-0 skips) with a
+    # fresh timestep embedding. ``encoder_propagation=True`` is an alias
+    # for cache_mode="encoder".
+    cache_mode: str = "none"
+    # Key-step stride for cached modes: a full forward every N-th DDIM
+    # step, cached fast steps in between.
+    cache_stride: int = 2
     # preprocessing (unifie.py:124-134)
     min_size: int = 512
     pad_multiple: int = 64
@@ -159,20 +170,38 @@ def predict_z0(frozen, trainable, cfg, sched, zt, conditions, timesteps):
 
 
 def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
-                 num_inference_steps=None, encoder_propagation=False):
+                 num_inference_steps=None, encoder_propagation=False,
+                 cache_mode=None, cache_stride=None):
     """DDIM loop with per-step Controller control, as a lax.scan
     (unifie.py:146-150).
 
-    ``encoder_propagation=True`` enables the Faster-Diffusion fast path
-    (arXiv:2312.09608): UNet encoder features change little between
-    adjacent timesteps, so the Controller + UNet encoder (+ SC-Tuner
-    injection) run only at every other ("key") step and the follower step
-    re-runs just the UNet decoder with the cached encoder features and a
-    fresh timestep embedding. ~40% fewer FLOPs per DDIM pair with a small,
-    bounded approximation error; OFF by default (exact reference
-    semantics).
+    Cached fast paths (both OFF by default = exact reference semantics):
+
+    - ``cache_mode="encoder"`` — Faster-Diffusion encoder propagation
+      (arXiv:2312.09608): UNet encoder features change little between
+      adjacent timesteps, so the Controller + UNet encoder (+ SC-Tuner
+      injection) run only at every ``cache_stride``-th ("key") step and
+      follower steps re-run just the UNet decoder with the cached encoder
+      features and a fresh timestep embedding (~40% fewer FLOPs per
+      follower).
+    - ``cache_mode="deep"`` — DeepCache-style (arXiv:2312.00858): key
+      steps additionally cache the deep feature entering the shallowest
+      up block; follower steps recompute ONLY the full-resolution level
+      (conv_in + down block 0 + SC-Tuner level-0 skips + last up block +
+      head) against the cached deep feature (~65% fewer FLOPs per
+      follower).
+
+    The loop runs as a ``lax.scan`` over key-step groups (one key + the
+    followers inside a single scan body, so caches live in registers/VMEM
+    across the group rather than in the scan carry); a trailing remainder
+    of fewer than ``cache_stride`` steps runs as full steps.
     """
     n = num_inference_steps or cfg.num_inference_steps
+    mode = cache_mode if cache_mode is not None else cfg.cache_mode
+    if encoder_propagation or (cache_mode is None and cfg.encoder_propagation
+                               and mode == "none"):
+        mode = "encoder"
+    stride = cache_stride or cfg.cache_stride
     ts = jnp.asarray(D.ddim_timesteps(n))
     bsz = zt.shape[0]
 
@@ -181,7 +210,7 @@ def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
         eps = predict_eps(frozen, trainable, cfg, z, z0_lq, tb)
         return D.ddim_step(sched, z, eps, t, n)
 
-    if not encoder_propagation or n < 2:
+    if mode == "none" or n < 2 or stride < 2:
         def body(z, t):
             return full_step(z, t), None
 
@@ -194,31 +223,41 @@ def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
                             ).astype(zt.dtype)
     ctrl_params = trainable.get("control")
 
-    def pair_body(z, t_pair):
-        t0, t1 = t_pair[0], t_pair[1]
-        # key step: Controller + full UNet, caching encoder features
-        tb0 = jnp.full((bsz,), t0, jnp.int32)
+    def group_body(z, t_group):
+        # key step: Controller + full UNet, caching features
+        tb0 = jnp.full((bsz,), t_group[0], jnp.int32)
         control = CTRL.controller_apply(trainable["controller"],
                                         cfg.controller, z0_lq, tb0)
         emb0 = UN.unet_time_embedding(unet_p, cfg.unet, tb0, z.dtype)
         h, skips = UN.unet_encode(unet_p, cfg.unet, z, emb0, null, control,
                                   ctrl_params)
-        eps0 = UN.unet_decode(unet_p, cfg.unet, h, skips, emb0, null,
-                              control, ctrl_params)
-        z = D.ddim_step(sched, z, eps0, t0, n)
-        # follower step: decoder only, cached encoder features + fresh temb
-        tb1 = jnp.full((bsz,), t1, jnp.int32)
-        emb1 = UN.unet_time_embedding(unet_p, cfg.unet, tb1, z.dtype)
-        eps1 = UN.unet_decode(unet_p, cfg.unet, h, skips, emb1, null,
-                              control, ctrl_params)
-        z = D.ddim_step(sched, z, eps1, t1, n)
+        eps0, deep = UN.unet_decode(unet_p, cfg.unet, h, skips, emb0, null,
+                                    control, ctrl_params, return_deep=True)
+        z = D.ddim_step(sched, z, eps0, t_group[0], n)
+        # follower steps: cached deep/encoder features + fresh temb
+        for j in range(1, stride):
+            tbj = jnp.full((bsz,), t_group[j], jnp.int32)
+            embj = UN.unet_time_embedding(unet_p, cfg.unet, tbj, z.dtype)
+            if mode == "deep":
+                skips0 = UN.unet_down_shallow(unet_p, cfg.unet, z, embj,
+                                              null, control, ctrl_params)
+                epsj = UN.unet_up_shallow(unet_p, cfg.unet, deep, skips0,
+                                          embj, null, control, ctrl_params)
+            else:
+                epsj = UN.unet_decode(unet_p, cfg.unet, h, skips, embj, null,
+                                      control, ctrl_params)
+            z = D.ddim_step(sched, z, epsj, t_group[j], n)
         return z, None
 
-    n_pairs = n // 2
-    pairs = ts[:2 * n_pairs].reshape(n_pairs, 2)
-    z, _ = jax.lax.scan(pair_body, zt, pairs)
-    if n % 2:  # trailing odd step runs in full
-        z = full_step(z, ts[-1])
+    n_groups = n // stride
+    groups = ts[:n_groups * stride].reshape(n_groups, stride)
+    z, _ = jax.lax.scan(group_body, zt, groups)
+    if n % stride:  # trailing remainder runs in full (as a scan: one UNet
+        # instance in the XLA module instead of n%stride inlined copies)
+        def tail_body(z, t):
+            return full_step(z, t), None
+
+        z, _ = jax.lax.scan(tail_body, z, ts[n_groups * stride:])
     return z
 
 
@@ -236,8 +275,7 @@ def restore_padded(frozen, trainable, cfg, sched, images, task, rng,
         t999 = jnp.full((images.shape[0],), 999, jnp.int32)
         zt, _, _ = diffuse(sched, z0, k_diff, timesteps=t999)
         zt = ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
-                          num_inference_steps,
-                          encoder_propagation=cfg.encoder_propagation)
+                          num_inference_steps)
     else:
         zt = z0
     return decode(frozen, trainable, cfg, zt, skips, task)

@@ -105,16 +105,24 @@ def _use_streaming(t: int, s: int, dim_head: int) -> bool:
     return PA.stream_supported(t, s, dim_head)
 
 
-def _proj_head_major(pp, src, heads: int, dim_head: int):
+def _proj_head_major(pp, src, heads: int, dim_head: int, gain: float = 1.0):
     """Project (B, T, C) -> (B*heads, T, dim_head) in one einsum — the
     head transpose rides inside the matmul output write, so no relayout
-    copy is materialized around the Pallas kernels."""
+    copy is materialized around the Pallas kernels.
+
+    ``gain`` is folded into the weights/bias (used to pre-scale q by
+    softmax_scale * log2(e): weight-side folding is free at runtime and
+    removes a VPU pass over the (BQ, T) logits inside the kernel)."""
     b, t, c = src.shape
     w = pp["w"].astype(src.dtype).reshape(c, heads, dim_head)
+    if gain != 1.0:
+        w = w * jnp.asarray(gain, src.dtype)
     y = jnp.einsum("btc,chd->bhtd", src, w)
     if "b" in pp:
-        y = y + pp["b"].astype(src.dtype).reshape(heads, dim_head)[
-            None, :, None, :]
+        bias = pp["b"].astype(src.dtype).reshape(heads, dim_head)
+        if gain != 1.0:
+            bias = bias * jnp.asarray(gain, src.dtype)
+        y = y + bias[None, :, None, :]
     return y.reshape(b * heads, t, dim_head)
 
 
@@ -130,13 +138,16 @@ def mha(p, x, context=None, heads: int = 8):
     use_fused = _use_fused(t, s, dim_head)
     use_streaming = not use_fused and _use_streaming(t, s, dim_head)
     if use_fused or use_streaming:
-        from .pallas_attention import (fused_attention_bh,
-                                       streaming_attention_bh)
-        qb = _proj_head_major(p["to_q"], x, heads, dim_head)
+        from .pallas_attention import (_LOG2E,
+                                       fused_attention_bh_prescaled,
+                                       streaming_attention_bh_prescaled)
+        qb = _proj_head_major(p["to_q"], x, heads, dim_head,
+                              gain=scale * _LOG2E)
         kb = _proj_head_major(p["to_k"], ctx, heads, dim_head)
         vb = _proj_head_major(p["to_v"], ctx, heads, dim_head)
-        kernel = fused_attention_bh if use_fused else streaming_attention_bh
-        ob = kernel(qb, kb, vb, scale)  # (B*H, T, D)
+        kernel = (fused_attention_bh_prescaled if use_fused
+                  else streaming_attention_bh_prescaled)
+        ob = kernel(qb, kb, vb)  # (B*H, T, D)
         ob = ob.reshape(b, heads, t, dim_head)
         wo = p["to_out"]["w"].astype(x.dtype).reshape(heads, dim_head, -1)
         out = jnp.einsum("bhtd,hdc->btc", ob, wo)

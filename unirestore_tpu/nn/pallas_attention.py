@@ -29,14 +29,19 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2E = 1.4426950408889634
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, logit_scale: float):
+    """``logit_scale`` is in log2 space (includes the log2(e) factor for the
+    exp2 softmax). 1.0 means q arrives pre-scaled — the scale is folded
+    into the q-projection weights upstream (attention.py), removing a VPU
+    pass over the (BQ, T) logit block."""
     q = q_ref[...]  # (BH_BLK, BQ, D)
     k = k_ref[...]  # (BH_BLK, T, D)
     v = v_ref[...]  # (BH_BLK, T, D)
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     # softmax via exp2 (measurably faster on the VPU; exp(x) = 2^(x log2 e))
-    s = s * (scale * _LOG2E)  # (BH_BLK, BQ, T)
+    if logit_scale != 1.0:
+        s = s * logit_scale  # (BH_BLK, BQ, T)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -68,10 +73,11 @@ def supported(t: int, s: int, d: int) -> bool:
     return t == s and t >= 256 and t % 8 == 0 and d % 64 == 0 and d <= 128
 
 
-def _stream_kernel(q_ref, k_ref, v_ref, o_ref, acc, m, l, *, scale: float):
+def _stream_kernel(q_ref, k_ref, v_ref, o_ref, acc, m, l, *,
+                   logit_scale: float):
     """Online-softmax variant: K/V streamed in chunks over the last grid
     dim (for wide heads whose full K/V would crowd VMEM, e.g. the VAE mid
-    block's single 512-d head)."""
+    block's single 512-d head). ``logit_scale`` as in ``_kernel``."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -86,7 +92,8 @@ def _stream_kernel(q_ref, k_ref, v_ref, o_ref, acc, m, l, *, scale: float):
     v = v_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    s = s * (scale * _LOG2E)
+    if logit_scale != 1.0:
+        s = s * logit_scale
     m_prev = m[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     corr = jnp.exp2(m_prev - m_new)
@@ -108,8 +115,10 @@ def stream_supported(t: int, s: int, d: int) -> bool:
             and d % 128 == 0)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _streaming_raw_bh(q, k, v, scale: float, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                              "prescaled"))
+def _streaming_raw_bh(q, k, v, scale: float, interpret: bool = False,
+                      prescaled: bool = False):
     """(BH, T, D) self-attention with chunked K/V for wide heads."""
     bh, t, d = q.shape
     bq, ck = 256, 1024
@@ -117,7 +126,8 @@ def _streaming_raw_bh(q, k, v, scale: float, interpret: bool = False):
     q_spec = pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0))
     kv_spec = pl.BlockSpec((1, ck, d), lambda i, qi, ki: (i, ki, 0))
     return pl.pallas_call(
-        functools.partial(_stream_kernel, scale=scale),
+        functools.partial(_stream_kernel,
+                          logit_scale=1.0 if prescaled else scale * _LOG2E),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0)),
@@ -144,8 +154,10 @@ def _streaming_raw(q, k, v, scale: float, interpret: bool = False):
     return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _fused_raw_bh(q, k, v, scale: float, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                              "prescaled"))
+def _fused_raw_bh(q, k, v, scale: float, interpret: bool = False,
+                  prescaled: bool = False):
     """q, k, v: (BH, T, D) -> (BH, T, D). Non-causal self-attention.
 
     Pallas block alignment wants the last two dims to be the
@@ -158,7 +170,8 @@ def _fused_raw_bh(q, k, v, scale: float, interpret: bool = False):
     q_spec = pl.BlockSpec((bhb, bq, d), lambda i, qi: (i, qi, 0))
     kv_spec = pl.BlockSpec((bhb, t, d), lambda i, qi: (i, 0, 0))
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
+        functools.partial(_kernel,
+                          logit_scale=1.0 if prescaled else scale * _LOG2E),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
@@ -246,6 +259,16 @@ _streaming_diffable = _make_diffable(_streaming_raw)
 _fused_diffable_bh = _make_diffable_bh(_fused_raw_bh)
 _streaming_diffable_bh = _make_diffable_bh(_streaming_raw_bh)
 
+# Prescaled entries: the caller folded (dim_head**-0.5 * log2(e)) into the
+# q-projection weights, so the kernel skips the logit multiply. For the
+# XLA-graph backward, softmax_e(x * ln2) == softmax_2(x), so the natural-
+# space scale of the prescaled logits is ln(2).
+_LN2 = 0.6931471805599453
+_fused_diffable_bh_prescaled = _make_diffable_bh(
+    lambda q, k, v, scale: _fused_raw_bh(q, k, v, scale, prescaled=True))
+_streaming_diffable_bh_prescaled = _make_diffable_bh(
+    lambda q, k, v, scale: _streaming_raw_bh(q, k, v, scale, prescaled=True))
+
 
 def fused_attention(q, k, v, scale: float, interpret: bool = False):
     if interpret:
@@ -268,3 +291,14 @@ def fused_attention_bh(q, k, v, scale: float):
 
 def streaming_attention_bh(q, k, v, scale: float):
     return _streaming_diffable_bh(q, k, v, scale)
+
+
+def fused_attention_bh_prescaled(q, k, v):
+    """(BH, T, D) entry for q pre-scaled by (softmax_scale * log2 e) —
+    fold the scale into the q-projection weights to save a VPU pass over
+    the (BQ, T) logit block inside the kernel."""
+    return _fused_diffable_bh_prescaled(q, k, v, _LN2)
+
+
+def streaming_attention_bh_prescaled(q, k, v):
+    return _streaming_diffable_bh_prescaled(q, k, v, _LN2)

@@ -44,6 +44,10 @@ def build_model_config(model_kwargs: dict) -> tuple[UR.UniRestoreConfig,
         use_tfa=bool(tedit),
         tasks=tuple((tedit or {}).get("task", ("ir",))),
         prompt_len=(tedit or {}).get("prompt_len", 1),
+        # opt-in cached inference modes (cnet: cache_mode "none" | "encoder"
+        # | "deep", cache_stride N); exact reference semantics by default
+        cache_mode=(cnet or {}).get("cache_mode", "none"),
+        cache_stride=(cnet or {}).get("cache_stride", 2),
     )
     stage = ST.StageConfig(
         train_cfrm=bool(frenc and frenc.get("train")),
