@@ -153,6 +153,25 @@ def test_loader_batching_and_prefetch(fixtures):
     assert batches[0]["task"] == "ir"
 
 
+def test_threaded_loader_matches_sync(fixtures):
+    """Worker-pool prefetch must yield the SAME stream as the synchronous
+    iterator (sampling on the consumer thread, per-sample RNGs installed
+    thread-locally for corruption)."""
+    import numpy as np
+
+    ds = DS.IRCorruptDataset(ImageData(fixtures["DIVF2KOST"]["train"]),
+                             resolution=64)
+    sync = list(DataLoader(ds, batch_size=2, num_workers=0, shuffle=True,
+                           seed=7))
+    par = list(DataLoader(ds, batch_size=2, num_workers=4, shuffle=True,
+                          seed=7))
+    assert len(sync) == len(par)
+    for a, b in zip(sync, par):
+        assert a["fname"] == b["fname"]
+        np.testing.assert_array_equal(a["lq"], b["lq"])
+        np.testing.assert_array_equal(a["hq"], b["hq"])
+
+
 def test_engine_mtl_loaders(fixtures):
     eng = DatasetEngine(task="mtl", train={"type": "all", "resolution": 64,
                                            "batch_size": 1},

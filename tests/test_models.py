@@ -36,6 +36,27 @@ def test_ada_naf_v2_shapes():
     assert CFRM.ada_naf_v2(p, x).shape == x.shape
 
 
+def test_dense_block_diag_equals_grouped_conv():
+    """The TPU fast path for AdaNAFV2's grouped 3x3 (dense block-diagonal
+    kernel) must match the grouped conv in forward AND gradient w.r.t. the
+    grouped parameter."""
+    import numpy as np
+    from unirestore_tpu.nn import layers as L
+
+    p = L.conv2d_init(jax.random.PRNGKey(0), 64, 64, 3, groups=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 64))
+    a = L.conv2d(p, x, padding=1, groups=16)
+    b = CFRM._dense_grouped_conv(p, x, 16, padding=1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-3)
+    ga = jax.grad(lambda w: (L.conv2d({"w": w, "b": p["b"]}, x, padding=1,
+                                      groups=16) ** 2).sum())(p["w"])
+    gb = jax.grad(lambda w: (CFRM._dense_grouped_conv(
+        {"w": w, "b": p["b"]}, x, 16, 1) ** 2).sum())(p["w"])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-2)
+
+
 def test_csce_adapter_shapes():
     p = SC.csce_adapter_init(jax.random.PRNGKey(0), 64, 64, 32)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 64))

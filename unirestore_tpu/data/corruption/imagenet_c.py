@@ -32,6 +32,34 @@ from . import native as _native
 _USE_NATIVE = (os.environ.get("UNIRESTORE_NATIVE", "1") != "0"
                and _native.available())
 
+
+# ---------------------------------------------------------------------------
+# randomness: thread-local generator
+# ---------------------------------------------------------------------------
+# The reference library draws from numpy's GLOBAL RNG, which makes
+# multi-threaded loaders nondeterministic (worker threads interleave draws
+# from one stream). Every corruption here draws from a thread-local
+# Generator instead: ``corrupt(..., rng=...)`` (or ``set_rng``) installs
+# the caller's per-sample generator for the current thread, so N loader
+# threads corrupt N samples concurrently AND reproducibly.
+
+import threading
+
+_TLS = threading.local()
+
+
+def set_rng(rng: np.random.Generator | None):
+    _TLS.rng = rng
+
+
+def _rand() -> np.random.Generator:
+    rng = getattr(_TLS, "rng", None)
+    if rng is None:
+        rng = np.random.default_rng()
+        _TLS.rng = rng
+    return rng
+
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -164,21 +192,21 @@ def _make_frost_textures():
 def gaussian_noise(img, severity):
     c = [0.08, 0.12, 0.18, 0.26, 0.38][severity - 1]
     x = _to_float(img)
-    return x + np.random.normal(size=x.shape, scale=c).astype(np.float32)
+    return x + _rand().normal(size=x.shape, scale=c).astype(np.float32)
 
 
 def shot_noise(img, severity):
     c = [60, 25, 12, 5, 3][severity - 1]
     x = _to_float(img)
-    return np.random.poisson(x * c).astype(np.float32) / c
+    return _rand().poisson(x * c).astype(np.float32) / c
 
 
 def impulse_noise(img, severity):
     c = [0.03, 0.06, 0.09, 0.17, 0.27][severity - 1]
     x = _to_float(img).copy()
     if _USE_NATIVE:
-        return _native.impulse_noise(x, c, np.random.randint(2 ** 31))
-    mask = np.random.uniform(size=x.shape)
+        return _native.impulse_noise(x, c, int(_rand().integers(2 ** 31)))
+    mask = _rand().uniform(size=x.shape)
     x[mask < c / 2] = 0.0
     x[mask > 1 - c / 2] = 1.0
     return x
@@ -187,7 +215,7 @@ def impulse_noise(img, severity):
 def speckle_noise(img, severity):
     c = [0.15, 0.2, 0.35, 0.45, 0.6][severity - 1]
     x = _to_float(img)
-    return x + x * np.random.normal(size=x.shape, scale=c).astype(np.float32)
+    return x + x * _rand().normal(size=x.shape, scale=c).astype(np.float32)
 
 
 def gaussian_blur(img, severity):
@@ -202,11 +230,11 @@ def glass_blur(img, severity):
     h, w = x.shape[:2]
     if _USE_NATIVE:
         x = _native.glass_shuffle(x, max_delta, iters,
-                                  np.random.randint(2 ** 31))
+                                  int(_rand().integers(2 ** 31)))
     else:
         for _ in range(iters):
-            dx = np.random.randint(-max_delta, max_delta + 1, (h, w))
-            dy = np.random.randint(-max_delta, max_delta + 1, (h, w))
+            dx = _rand().integers(-max_delta, max_delta + 1, (h, w))
+            dy = _rand().integers(-max_delta, max_delta + 1, (h, w))
             yy = np.clip(np.arange(h)[:, None] + dy, 0, h - 1)
             xx = np.clip(np.arange(w)[None, :] + dx, 0, w - 1)
             x = x[yy, xx]
@@ -223,7 +251,7 @@ def defocus_blur(img, severity):
 
 def motion_blur(img, severity):
     radius, sigma = [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)][severity - 1]
-    angle = np.random.uniform(-45, 45)
+    angle = _rand().uniform(-45, 45)
     x = _to_float(img)
     return cv2.filter2D(x, -1, _motion_kernel(radius, sigma, angle),
                         borderType=cv2.BORDER_REFLECT101)
@@ -252,7 +280,7 @@ def fog(img, severity):
     mapsize = _next_pow2(max(h, w, 32))
     if _USE_NATIVE:
         plasma = _native.plasma_fractal(mapsize, decay,
-                                        np.random.randint(2 ** 31))[:h, :w]
+                                        int(_rand().integers(2 ** 31)))[:h, :w]
     else:
         plasma = _plasma_fractal(mapsize, wibbledecay=decay)[:h, :w]
     maxval = x.max()
@@ -266,13 +294,13 @@ def frost(img, severity):
     x = _to_float(img)
     h, w = x.shape[:2]
     textures = _make_frost_textures()
-    tex = textures[np.random.randint(len(textures))]
+    tex = textures[_rand().integers(len(textures))]
     th, tw = tex.shape[:2]
     if th < h or tw < w:
         tex = cv2.resize(tex, (max(w, tw), max(h, th)))
         th, tw = tex.shape[:2]
-    top = np.random.randint(0, th - h + 1)
-    left = np.random.randint(0, tw - w + 1)
+    top = _rand().integers(0, th - h + 1)
+    left = _rand().integers(0, tw - w + 1)
     patch = _to_float(tex[top:top + h, left:left + w])
     return mix[0] * x + mix[1] * patch
 
@@ -284,13 +312,13 @@ def snow(img, severity):
         (0.55, 0.3, 2.5, 0.85, 12, 12, 0.55)][severity - 1]
     x = _to_float(img)
     h, w = x.shape[:2]
-    layer = np.random.normal(size=(h, w), loc=loc, scale=scale).astype(
+    layer = _rand().normal(size=(h, w), loc=loc, scale=scale).astype(
         np.float32)
     zh, zw = int(np.ceil(h * zoom_f)), int(np.ceil(w * zoom_f))
     layer = cv2.resize(layer, (zw, zh),
                        interpolation=cv2.INTER_LINEAR)[:h, :w]
     layer[layer < thresh] = 0.0
-    angle = np.random.uniform(-135, -45)
+    angle = _rand().uniform(-135, -45)
     layer = cv2.filter2D(layer, -1, _motion_kernel(blur_r, blur_sig, angle))
     layer = np.clip(layer, 0, 1)[..., None]
     gray = cv2.cvtColor(x, cv2.COLOR_RGB2GRAY)
@@ -337,16 +365,16 @@ def elastic_transform(img, severity):
     pts1 = np.float32([center + sq_size,
                        [center[1] + sq_size, center[0] - sq_size],
                        center - sq_size])
-    pts2 = pts1 + np.random.uniform(-c[2] * min(h, w), c[2] * min(h, w),
+    pts2 = pts1 + _rand().uniform(-c[2] * min(h, w), c[2] * min(h, w),
                                     size=pts1.shape).astype(np.float32)
     M = cv2.getAffineTransform(pts1, pts2)
     x = cv2.warpAffine(x, M, (w, h), borderMode=cv2.BORDER_REFLECT101)
 
     dx = cv2.GaussianBlur(
-        np.random.uniform(-1, 1, size=(h, w)).astype(np.float32), (0, 0),
+        _rand().uniform(-1, 1, size=(h, w)).astype(np.float32), (0, 0),
         c[1] * min(h, w)) * c[0] * min(h, w)
     dy = cv2.GaussianBlur(
-        np.random.uniform(-1, 1, size=(h, w)).astype(np.float32), (0, 0),
+        _rand().uniform(-1, 1, size=(h, w)).astype(np.float32), (0, 0),
         c[1] * min(h, w)) * c[0] * min(h, w)
     xx, yy = np.meshgrid(np.arange(w), np.arange(h))
     map_x = (xx + dx).astype(np.float32)
@@ -379,7 +407,7 @@ def spatter(img, severity):
          (0.67, 0.4, 1, 0.65, 1.5, 1)][severity - 1]
     x = _to_float(img)
     h, w = x.shape[:2]
-    liquid = np.random.normal(size=(h, w), loc=c[0], scale=c[1]).astype(
+    liquid = _rand().normal(size=(h, w), loc=c[0], scale=c[1]).astype(
         np.float32)
     liquid = _gaussian_blur(liquid, c[2])
     liquid[liquid < c[3]] = 0.0
@@ -415,8 +443,14 @@ _BY_NAME = {f.__name__: f for f in CORRUPTION_FUNCS}
 
 def corrupt(image: np.ndarray, severity: int = 1,
             corruption_name: str | None = None,
-            corruption_number: int = -1) -> np.ndarray:
-    """uint8 HWC in -> uint8 HWC out (same API as the reference dispatcher)."""
+            corruption_number: int = -1,
+            rng: np.random.Generator | None = None) -> np.ndarray:
+    """uint8 HWC in -> uint8 HWC out (same API as the reference dispatcher).
+
+    ``rng`` (optional) installs a per-sample Generator for this thread —
+    deterministic corruption under multi-threaded loaders."""
+    if rng is not None:
+        set_rng(rng)
     if image.dtype != np.uint8:
         raise ValueError("expected uint8 image")
     if image.ndim == 2:

@@ -78,10 +78,10 @@ def degrade_image(rng, hq_u8: np.ndarray, corruption_mode: str, severity: int,
     h, w = hq_u8.shape[:2]
     size = int(rng.integers(resolution // 4, resolution))
     lq = _resize_short_edge(hq_u8, size)
-    # the corruption library draws from the global numpy RNG; seed it from
-    # the per-sample generator so samples stay reproducible
-    np.random.seed(int(rng.integers(0, 2 ** 31 - 1)))
-    lq = corrupt(lq, severity=severity, corruption_name=corruption_mode)
+    # per-sample generator installed thread-locally: deterministic AND safe
+    # under multi-threaded loaders (no global-RNG interleaving)
+    lq = corrupt(lq, severity=severity, corruption_name=corruption_mode,
+                 rng=rng)
     return _resize_to(lq, (h, w))
 
 

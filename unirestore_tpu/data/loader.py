@@ -8,9 +8,6 @@ WeightedRandomSampler (reference data/__init__.py:113-132).
 
 from __future__ import annotations
 
-import queue
-import threading
-
 import numpy as np
 
 
@@ -126,28 +123,51 @@ class DataLoader:
             yield collate(buf)
 
     def _iter_threaded(self):
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        """True worker-pool prefetch: ``num_workers`` threads decode/corrupt
+        samples concurrently (numpy/cv2 and the native corruption kernels
+        release the GIL), batches are assembled in order. Sampling decisions
+        (weighted draws / shuffle order) stay on the consumer thread, so the
+        stream is identical to the synchronous iterator; per-sample work is
+        deterministic via index-seeded RNGs (datasets.py ``_Base.rng``)."""
+        from concurrent.futures import ThreadPoolExecutor
 
-        def producer():
-            try:
-                for b in self._iter_sync():
-                    if stop.is_set():
+        def draw(idx):
+            """Resolve the sample identity on this (consumer) thread."""
+            if isinstance(self.source, WeightedMixture):
+                ds_idx, local = self.source.sample_index()
+                return self.source.datasets[ds_idx], local
+            return self.source, idx
+
+        import collections
+        depth = max(self.num_workers,
+                    self.prefetch * max(1, self.batch_size))
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures: collections.deque = collections.deque()
+            stream = self._index_stream()
+            exhausted = False
+
+            def refill():
+                nonlocal exhausted
+                while not exhausted and len(futures) < depth:
+                    try:
+                        idx = next(stream)
+                    except StopIteration:
+                        exhausted = True
                         return
-                    q.put(b)
-            finally:
-                q.put(None)
+                    ds, local = draw(idx)
+                    futures.append(pool.submit(ds.__getitem__, local,
+                                               epoch=self.epoch))
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                b = q.get()
-                if b is None:
-                    break
-                yield b
-        finally:
-            stop.set()
+            refill()
+            buf = []
+            while futures:
+                buf.append(futures.popleft().result())
+                refill()
+                if len(buf) == self.batch_size:
+                    yield collate(buf)
+                    buf = []
+            if buf and not self.drop_last:
+                yield collate(buf)
 
 
 def device_prefetch(iterator, sharding=None, depth: int = 2):

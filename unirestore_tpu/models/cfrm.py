@@ -22,6 +22,39 @@ GROUPS = 16
 EXPAND = 4
 
 
+def _block_diag_kernel(w, groups: int):
+    """Expand a grouped-conv HWIO kernel (kh, kw, cin/g, cout) to the
+    mathematically identical dense block-diagonal kernel (kh, kw, cin,
+    cout).
+
+    On TPU, XLA lowers feature_group_count=16 convs to a 5-D grouped form
+    whose layout forces large relayout copies around every neighboring op
+    (measured: the grouped 3x3 at (8,256,256,512) runs at ~11% MXU plus
+    ~10 ms of copies, while the 16x-FLOPs dense conv runs at ~98% MXU with
+    clean NHWC layouts and is faster end-to-end). Gradients flow through
+    the slice-scatter back to the grouped parameter."""
+    kh, kw, cgi, cout = w.shape
+    cgo = cout // groups
+    dense = jnp.zeros((kh, kw, cgi * groups, cout), w.dtype)
+    for g in range(groups):
+        dense = dense.at[:, :, g * cgi:(g + 1) * cgi,
+                         g * cgo:(g + 1) * cgo].set(
+            w[:, :, :, g * cgo:(g + 1) * cgo])
+    return dense
+
+
+def _dense_grouped_conv(p, x, groups: int, padding: int):
+    return L.conv2d({"w": _block_diag_kernel(p["w"], groups),
+                     **({"b": p["b"]} if "b" in p else {})},
+                    x, padding=padding)
+
+
+def _use_dense_groups() -> bool:
+    import os
+    return (jax.default_backend() in ("tpu", "axon")
+            and os.environ.get("UNIRESTORE_DISABLE_DENSE_GROUPS") != "1")
+
+
 def ada_naf_v2_init(key, c: int, dtype=jnp.float32):
     dw = c * EXPAND
     keys = jax.random.split(key, 6)
@@ -41,7 +74,10 @@ def ada_naf_v2(p, x):
     dw = p["conv_in"]["w"].shape[-1]
     h = L.conv2d(p["conv_in"], x, padding=0)
     h = L.group_norm(p["group_norm"], h, groups=GROUPS, eps=1e-5)
-    h = L.conv2d(p["group_conv"], h, padding=1, groups=GROUPS)
+    if _use_dense_groups():
+        h = _dense_grouped_conv(p["group_conv"], h, GROUPS, padding=1)
+    else:
+        h = L.conv2d(p["group_conv"], h, padding=1, groups=GROUPS)
     h = L.gelu(h)
     # intra-group SE: grouped 1x1 on the global-average-pooled vector
     h = h * L.conv2d(p["intra_attn"], L.global_avg_pool(h), padding=0,
