@@ -12,7 +12,8 @@ extra fields:
   (arXiv:2312.09608; Controller + UNet encoder cached across DDIM step
   pairs, ~2% relative latent deviation at 20 steps).
 - "turbo_value": DeepCache-style deep-feature caching (arXiv:2312.00858)
-  at key-step stride BENCH_TURBO_STRIDE (default 4): follower steps
+  at key-step stride BENCH_TURBO_STRIDE (default 5, the DeepCache
+  paper's standard SD interval): follower steps
   recompute only the full-resolution UNet level against the cached deep
   feature.
 
@@ -38,7 +39,7 @@ BASELINE_IMGS_PER_SEC = 8.0  # BASELINE.md north-star target per chip
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 STEPS = int(os.environ.get("BENCH_DDIM_STEPS", "20"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
-TURBO_STRIDE = int(os.environ.get("BENCH_TURBO_STRIDE", "4"))
+TURBO_STRIDE = int(os.environ.get("BENCH_TURBO_STRIDE", "5"))
 PRIMARY = ("encoder" if os.environ.get("BENCH_ENCODER_PROP") == "1"
            else "deep" if os.environ.get("BENCH_TURBO") == "1"
            else "none")
