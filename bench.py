@@ -90,8 +90,17 @@ def main():
     results = {}
     for m in ("none", "encoder", "deep"):
         env = dict(os.environ, BENCH_MODE=m)
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              capture_output=True, text=True, env=env)
+        try:
+            # bound each mode: a wedged remote-compile tunnel must not hang
+            # the whole bench (the subprocess design exists for isolation)
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  capture_output=True, text=True, env=env,
+                                  timeout=int(os.environ.get(
+                                      "BENCH_MODE_TIMEOUT", "3600")))
+        except subprocess.TimeoutExpired as e:
+            print(f"# mode {m} timed out: {e}", file=sys.stderr)
+            results[m] = 0.0
+            continue
         for line in proc.stdout.splitlines():
             if line.startswith("RESULT "):
                 results.update(json.loads(line[len("RESULT "):]))

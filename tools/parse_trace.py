@@ -28,8 +28,9 @@ def load_trace(logdir):
 
 
 CATEGORIES = [
-    ("attention-kernel", re.compile(r"fused_attention|_kernel|pallas|"
-                                    r"custom-call", re.I)),
+    ("attention-kernel", re.compile(r"_fused_raw|_streaming_raw|"
+                                    r"fused_attention|flash_attention", re.I)),
+    ("pallas/custom-call", re.compile(r"pallas|custom-call", re.I)),
     ("conv", re.compile(r"convolution|conv", re.I)),
     ("matmul", re.compile(r"dot|einsum|gemm", re.I)),
     ("reduce/norm", re.compile(r"reduce|norm|variance|mean", re.I)),

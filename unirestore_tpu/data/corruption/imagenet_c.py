@@ -155,32 +155,40 @@ def _motion_kernel(radius: int, sigma: float, angle_deg: float) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _FROST_CACHE: list[np.ndarray] = []
+_FROST_LOCK = threading.Lock()
 
 
 def _make_frost_textures():
     global _FROST_CACHE
-    if _FROST_CACHE:
+    if _FROST_CACHE:  # published atomically below; safe lock-free fast path
         return _FROST_CACHE
-    user_dir = os.environ.get("UNIRESTORE_FROST_DIR")
-    if user_dir and os.path.isdir(user_dir):
-        for f in sorted(os.listdir(user_dir)):
-            p = os.path.join(user_dir, f)
-            img = cv2.imread(p, cv2.IMREAD_COLOR)
-            if img is not None:
-                _FROST_CACHE.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    with _FROST_LOCK:
         if _FROST_CACHE:
             return _FROST_CACHE
-    rng = np.random.default_rng(1234)
-    for i in range(6):
-        size = 768
-        base = _plasma_fractal(1024, wibbledecay=2.2, rng=rng)[:size, :size]
-        # streaky crystalline structure: directional blur of thresholded noise
-        streaks = (base > 0.55).astype(np.float32)
-        angle = rng.uniform(-60, 60)
-        streaks = cv2.filter2D(streaks, -1, _motion_kernel(9, 4.0, angle))
-        tex = np.clip(0.55 * base + 0.75 * streaks + 0.35, 0, 1)
-        tex = (tex * 255).astype(np.uint8)
-        _FROST_CACHE.append(np.stack([tex] * 3, axis=-1))
+        built: list[np.ndarray] = []
+        user_dir = os.environ.get("UNIRESTORE_FROST_DIR")
+        if user_dir and os.path.isdir(user_dir):
+            for f in sorted(os.listdir(user_dir)):
+                p = os.path.join(user_dir, f)
+                img = cv2.imread(p, cv2.IMREAD_COLOR)
+                if img is not None:
+                    built.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        if not built:
+            rng = np.random.default_rng(1234)
+            for i in range(6):
+                size = 768
+                base = _plasma_fractal(1024, wibbledecay=2.2,
+                                       rng=rng)[:size, :size]
+                # streaky crystalline structure: directional blur of
+                # thresholded noise
+                streaks = (base > 0.55).astype(np.float32)
+                angle = rng.uniform(-60, 60)
+                streaks = cv2.filter2D(streaks, -1,
+                                       _motion_kernel(9, 4.0, angle))
+                tex = np.clip(0.55 * base + 0.75 * streaks + 0.35, 0, 1)
+                tex = (tex * 255).astype(np.uint8)
+                built.append(np.stack([tex] * 3, axis=-1))
+        _FROST_CACHE = built  # single publish
     return _FROST_CACHE
 
 
@@ -282,7 +290,8 @@ def fog(img, severity):
         plasma = _native.plasma_fractal(mapsize, decay,
                                         int(_rand().integers(2 ** 31)))[:h, :w]
     else:
-        plasma = _plasma_fractal(mapsize, wibbledecay=decay)[:h, :w]
+        plasma = _plasma_fractal(mapsize, wibbledecay=decay,
+                                 rng=_rand())[:h, :w]
     maxval = x.max()
     x = x + c * plasma[..., None].astype(np.float32)
     return x * maxval / (maxval + c)

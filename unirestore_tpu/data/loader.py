@@ -141,7 +141,8 @@ class DataLoader:
         import collections
         depth = max(self.num_workers,
                     self.prefetch * max(1, self.batch_size))
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
             futures: collections.deque = collections.deque()
             stream = self._index_stream()
             exhausted = False
@@ -168,6 +169,10 @@ class DataLoader:
                     buf = []
             if buf and not self.drop_last:
                 yield collate(buf)
+        finally:
+            # abandoning the iterator early (break / Ctrl-C) must not block
+            # on ~depth in-flight decode jobs — drop everything not started
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def device_prefetch(iterator, sharding=None, depth: int = 2):

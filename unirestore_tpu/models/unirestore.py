@@ -201,7 +201,10 @@ def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
     if encoder_propagation or (cache_mode is None and cfg.encoder_propagation
                                and mode == "none"):
         mode = "encoder"
-    stride = cache_stride or cfg.cache_stride
+    if mode not in ("none", "encoder", "deep"):
+        raise ValueError(f"cache_mode must be 'none', 'encoder' or 'deep', "
+                         f"got {mode!r}")
+    stride = cache_stride if cache_stride is not None else cfg.cache_stride
     ts = jnp.asarray(D.ddim_timesteps(n))
     bsz = zt.shape[0]
 
