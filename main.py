@@ -47,7 +47,9 @@ def main():
     elif args.command in ("validate", "test"):
         trainer.validate(engine, data, evaluator_factory)
     elif args.command == "predict":
-        restore = engine.restore_fn()
+        # tiled wrapper: arbitrary-size inputs restore as fixed-shape tile
+        # batches (one compile); <=tile inputs pass straight through
+        restore = engine.restore_tiled_fn()
         out_dir = os.path.join(trainer.root, "predict")
         os.makedirs(out_dir, exist_ok=True)
         from PIL import Image

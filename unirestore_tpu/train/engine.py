@@ -206,6 +206,24 @@ class UniFIEEngine:
 
         return run
 
+    def restore_tiled_fn(self, num_inference_steps: int | None = None,
+                         tile: int = 512, overlap: int = 64,
+                         batch_tiles: int = 4):
+        """Arbitrary-size restore: inputs larger than ``tile`` are split
+        into fixed-shape overlapping tile batches (ONE compile) and
+        re-composited with feather blending (ops/tiling.py); smaller inputs
+        pass straight through ``restore_fn``."""
+        from ..ops import tiling as TIL
+
+        base = self.restore_fn(num_inference_steps)
+
+        def run(images, task):
+            return TIL.restore_tiled(base, np.asarray(images), task,
+                                     tile=tile, overlap=overlap,
+                                     batch_tiles=batch_tiles)
+
+        return run
+
 
 class Trainer:
     """fit/validate loops (Lightning Trainer surface subset)."""
