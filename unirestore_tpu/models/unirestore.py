@@ -62,6 +62,11 @@ class UniRestoreConfig:
     # Key-step stride for cached modes: a full forward every N-th DDIM
     # step, cached fast steps in between.
     cache_stride: int = 2
+    # Run the first N DDIM steps in full before caching kicks in: early
+    # steps move the latent fastest, so a short exact warmup buys most of
+    # the quality back for a small FLOP cost (Faster-Diffusion's
+    # non-uniform key steps, arXiv:2312.09608 Fig. 5).
+    cache_warmup: int = 0
     # preprocessing (unifie.py:124-134)
     min_size: int = 512
     pad_multiple: int = 64
@@ -171,7 +176,7 @@ def predict_z0(frozen, trainable, cfg, sched, zt, conditions, timesteps):
 
 def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
                  num_inference_steps=None, encoder_propagation=False,
-                 cache_mode=None, cache_stride=None):
+                 cache_mode=None, cache_stride=None, cache_warmup=None):
     """DDIM loop with per-step Controller control, as a lax.scan
     (unifie.py:146-150).
 
@@ -205,6 +210,7 @@ def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
         raise ValueError(f"cache_mode must be 'none', 'encoder' or 'deep', "
                          f"got {mode!r}")
     stride = cache_stride if cache_stride is not None else cfg.cache_stride
+    warmup = cache_warmup if cache_warmup is not None else cfg.cache_warmup
     ts = jnp.asarray(D.ddim_timesteps(n))
     bsz = zt.shape[0]
 
@@ -213,12 +219,15 @@ def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
         eps = predict_eps(frozen, trainable, cfg, z, z0_lq, tb)
         return D.ddim_step(sched, z, eps, t, n)
 
-    if mode == "none" or n < 2 or stride < 2:
+    if mode == "none" or n < 2 or stride < 2 or warmup >= n:
         def body(z, t):
             return full_step(z, t), None
 
         z, _ = jax.lax.scan(body, zt, ts)
         return z
+
+    ts_warm, ts = ts[:warmup], ts[warmup:]
+    n_cached = n - warmup
 
     unet_p = frozen["unet"]
     null = jnp.broadcast_to(frozen["null_emb"],
@@ -252,15 +261,18 @@ def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
             z = D.ddim_step(sched, z, epsj, t_group[j], n)
         return z, None
 
-    n_groups = n // stride
-    groups = ts[:n_groups * stride].reshape(n_groups, stride)
-    z, _ = jax.lax.scan(group_body, zt, groups)
-    if n % stride:  # trailing remainder runs in full (as a scan: one UNet
-        # instance in the XLA module instead of n%stride inlined copies)
-        def tail_body(z, t):
-            return full_step(z, t), None
+    def full_body(z, t):
+        return full_step(z, t), None
 
-        z, _ = jax.lax.scan(tail_body, z, ts[n_groups * stride:])
+    z = zt
+    if warmup:  # exact warmup steps before caching kicks in
+        z, _ = jax.lax.scan(full_body, z, ts_warm)
+    n_groups = n_cached // stride
+    groups = ts[:n_groups * stride].reshape(n_groups, stride)
+    z, _ = jax.lax.scan(group_body, z, groups)
+    if n_cached % stride:  # trailing remainder runs in full (as a scan: one
+        # UNet instance in the XLA module instead of inlined copies)
+        z, _ = jax.lax.scan(full_body, z, ts[n_groups * stride:])
     return z
 
 

@@ -46,6 +46,9 @@ def restore_tiled(restore_fn, images: np.ndarray, task: str,
     b, h, w, c = images.shape
     if h <= tile and w <= tile:
         return np.asarray(restore_fn(images, task))
+    # overlap must leave a positive stride; clamp rather than error so a
+    # small working tile (tests / tiny configs) still tiles sensibly
+    overlap = min(overlap, tile // 2)
 
     coords = plan_tiles(h, w, tile, overlap)
     window = _feather(tile, overlap)[..., None]

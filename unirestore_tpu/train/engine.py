@@ -48,6 +48,7 @@ def build_model_config(model_kwargs: dict) -> tuple[UR.UniRestoreConfig,
         # | "deep", cache_stride N); exact reference semantics by default
         cache_mode=(cnet or {}).get("cache_mode", "none"),
         cache_stride=(cnet or {}).get("cache_stride", 2),
+        cache_warmup=(cnet or {}).get("cache_warmup", 0),
     )
     stage = ST.StageConfig(
         train_cfrm=bool(frenc and frenc.get("train")),
