@@ -226,3 +226,37 @@ def test_predict_cli_writes_outputs(tmp_path):
     assert out_dirs, proc.stdout[-2000:]
     pngs = list(out_dirs[0].glob("*.png"))
     assert pngs, "predict wrote no images"
+
+
+def test_fit_resume_from_last_checkpoint(tmp_path):
+    """Restart-based recovery: a second fit with trainer.resume continues
+    from last.npz (trainable + optimizer state + step counter) instead of
+    restarting at step 0 (the reference delegates this to Lightning
+    ckpt_path resume)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    smoke = tmp_path / "smoke"
+    env = dict(os.environ, JAX_PLATFORMS="")
+    subprocess.run([sys.executable,
+                    os.path.join(root, "tools", "make_smoke_data.py"),
+                    str(smoke)], check=True, cwd=root, env=env)
+
+    def fit(extra):
+        return subprocess.run(
+            [sys.executable, os.path.join(root, "main.py"), "fit",
+             "--config", str(smoke / "smoke.yaml"), "--tiny",
+             "--platform", "cpu"] + extra,
+            cwd=root, env=env, capture_output=True, text=True, timeout=900)
+
+    p1 = fit(["--trainer.max_steps", "2"])
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    assert "[fit] done at step 2" in p1.stdout
+
+    p2 = fit(["--trainer.max_steps", "4", "--trainer.resume", "true"])
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert "[resume]" in p2.stdout and "@ step 2" in p2.stdout, \
+        p2.stdout[-2000:]
+    assert "[fit] done at step 4" in p2.stdout
+    assert "[step 1]" not in p2.stdout  # did not restart from scratch

@@ -31,11 +31,27 @@ ENGINE_ALIASES = {
 
 
 def load_config(path: str, overrides: list[str] | None = None) -> dict:
+    """Load YAML + apply dotted CLI overrides.
+
+    Both LightningCLI forms work: ``--trainer.max_steps=100`` and
+    ``--trainer.max_steps 100`` (flag followed by a separate value token).
+    A flag with neither form sets the key to None (``--trainer.logger``).
+    """
     with open(path) as f:
         cfg = yaml.safe_load(f)
-    for ov in overrides or []:
-        key, _, val = ov.partition("=")
+    toks = list(overrides or [])
+    i = 0
+    while i < len(toks):
+        ov = toks[i]
+        i += 1
+        if not ov.startswith("-"):
+            raise ValueError(f"unexpected CLI token {ov!r} "
+                             "(overrides look like --a.b.c=value)")
+        key, eq, val = ov.partition("=")
         key = key.lstrip("-")
+        if not eq and i < len(toks) and not toks[i].startswith("-"):
+            val = toks[i]  # space-separated value token
+            i += 1
         set_dotted(cfg, key, yaml.safe_load(val) if val != "" else None)
     return cfg
 
@@ -89,6 +105,7 @@ def build(cfg: dict, tiny: bool = False):
         limit_val_batches=t.get("limit_val_batches"),
         seed=cfg.get("seed_everything", 42),
         profiler=t.get("profiler"),
+        resume=t.get("resume"),
     )
 
     d = cfg.get("data", {}).get("init_args", {})

@@ -234,8 +234,14 @@ class Trainer:
                  default_root_dir: str = "logs", save_top_k: int = 5,
                  monitor_mode: str = "max", num_sanity_val_steps: int = 0,
                  limit_val_batches: int | None = None, seed: int = 42,
-                 profiler: str | None = None):
+                 profiler: str | None = None,
+                 resume: str | bool | None = None):
         self.max_steps = max_steps
+        # restart-based recovery (Lightning ckpt_path resume): True/"auto"
+        # resumes from <root>/checkpoints/last.npz when present; a path
+        # resumes from that file. Restores trainable + optimizer state +
+        # step counter (the reference delegates this to Lightning).
+        self.resume = resume
         self.val_check_interval = val_check_interval
         self.log_every = log_every_n_steps
         self.accum = accumulate_grad_batches
@@ -274,9 +280,25 @@ class Trainer:
         critics = engine.build_critics()
         te_fn = engine.te_loss_fn(critics) if engine.cfg.use_tfa else None
 
+        start_step = 0
+        resume_path = self.resume
+        if resume_path in (True, "auto", "true"):
+            resume_path = os.path.join(self.root, "checkpoints", "last.npz")
+        opt_state_h = tx.init(engine.trainable)
+        if resume_path and os.path.exists(str(resume_path)):
+            engine.trainable, meta = CKPT.load_trainable(str(resume_path),
+                                                         engine.trainable)
+            opt_state_h = CKPT.restore_opt_state(str(resume_path),
+                                                 opt_state_h)
+            start_step = int(meta.get("step", 0))
+            print(f"[resume] {resume_path} @ step {start_step}")
+        elif self.resume and resume_path:
+            print(f"[resume] no checkpoint at {resume_path}; "
+                  "starting from scratch")
+
         trainable = replicate(self.mesh, engine.trainable)
         frozen = replicate(self.mesh, engine.frozen)
-        opt_state = replicate(self.mesh, tx.init(engine.trainable))
+        opt_state = replicate(self.mesh, opt_state_h)
 
         steps_by_task = {}
 
@@ -314,8 +336,10 @@ class Trainer:
         trace_window = None  # (start, stop) steps for the device trace
         if self.profiler:
             trace_window = (2, min(6, self.max_steps))
-        rng = jax.random.PRNGKey(self.seed)
-        step = 0
+        # fold the start step into the rng so a resumed run draws fresh
+        # (but deterministic) noise rather than replaying step-0 keys
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), start_step)
+        step = start_step
         t0 = time.time()
         it = iter(train_loader)
         while step < self.max_steps:
@@ -358,9 +382,14 @@ class Trainer:
                 metrics = self.validate(engine, data, evaluator_factory)
                 mgr.save(engine.trainable, step,
                          metrics.get("val_monitor", 0.0))
+                # crash-recovery state: at most one val interval is lost
+                CKPT.save_checkpoint(
+                    os.path.join(self.root, "checkpoints", "last.npz"),
+                    engine.trainable, step, opt_state=opt_state)
         engine.trainable = jax.tree.map(np.asarray, trainable)
         final = os.path.join(self.root, "checkpoints", "last.npz")
-        CKPT.save_checkpoint(final, engine.trainable, step)
+        CKPT.save_checkpoint(final, engine.trainable, step,
+                             opt_state=opt_state)
         ts = timer.summary()
         if ts:
             print(f"[timing] steps={ts['steps']} mean={ts['mean_s']:.3f}s "
