@@ -260,3 +260,35 @@ def test_fit_resume_from_last_checkpoint(tmp_path):
         p2.stdout[-2000:]
     assert "[fit] done at step 4" in p2.stdout
     assert "[step 1]" not in p2.stdout  # did not restart from scratch
+
+
+def test_spatially_sharded_encode_matches_single_device():
+    """2-D (data, spatial) mesh: sharding NHWC height across chips must be
+    numerically transparent — GSPMD inserts the conv halo exchanges and
+    GroupNorm partial reductions (SURVEY §2.6 'optional headroom': spatial
+    sharding of the 512px VAE activations)."""
+    from unirestore_tpu.parallel import (make_mesh_2d, replicate,
+                                         spatial_batch_sharding)
+
+    cfg, frozen, trainable, sched, _ = _tiny_setup()
+    images = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rng = jax.random.PRNGKey(1)
+
+    def enc(fz, tr, x):
+        return UR.encode(fz, tr, cfg, x, rng=rng)[0]
+
+    single = jax.jit(enc)(frozen, trainable, images)
+
+    mesh = make_mesh_2d(2, 4)
+    fz = replicate(mesh, frozen)
+    tr = replicate(mesh, trainable)
+    im = jax.device_put(images, spatial_batch_sharding(mesh))
+    sharded = jax.jit(enc)(fz, tr, im)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-5)
+
+    # and the full restore pipeline compiles + runs under the 2-D sharding
+    out = jax.jit(lambda f, t, x: UR.restore_padded(
+        f, t, cfg, sched, x, "ir", rng, num_inference_steps=2))(fz, tr, im)
+    assert out.shape == images.shape
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,6 +1,8 @@
 from .mesh import (  # noqa: F401
     make_mesh,
+    make_mesh_2d,
     replicate,
     shard_batch,
+    spatial_batch_sharding,
     unreplicate,
 )

@@ -22,6 +22,27 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(data: int, spatial: int, devices=None) -> Mesh:
+    """(data, spatial) mesh for spatially sharded inference: NHWC batches
+    sharded as P('data', 'spatial') split both the batch AND the image
+    height across chips. GSPMD inserts the conv halo exchanges and
+    partial-reduction collectives automatically (verified exact vs
+    single-device at the encoder level), so per-chip HBM for the 512px VAE
+    activations — the memory hot spot (SURVEY §2.6) — drops by the
+    spatial factor with no model changes."""
+    devices = devices if devices is not None else jax.devices()
+    if data * spatial != len(devices):
+        raise ValueError(f"{data}x{spatial} mesh needs {data * spatial} "
+                         f"devices, have {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(data, spatial),
+                ("data", "spatial"))
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch on 'data', image height on 'spatial' (NHWC axis 1)."""
+    return NamedSharding(mesh, P("data", "spatial"))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
