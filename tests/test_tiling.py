@@ -36,3 +36,25 @@ def test_constant_shift_blends_smoothly():
     out = restore_tiled(lambda x, t: x + 0.5, img, "ir", tile=512,
                         overlap=64)
     np.testing.assert_allclose(out, 0.5, atol=1e-5)
+
+
+def test_single_dim_over_tile_pads_and_crops():
+    """Inputs where only ONE dimension exceeds the tile size must still
+    restore: the short dimension is padded up so every tile has the full
+    static shape, then cropped back (previously crashed broadcasting a
+    partial tile against the square feather window)."""
+    shapes = []
+
+    def f(x, t):
+        shapes.append(x.shape)
+        return x + 0.25
+
+    img = np.random.default_rng(0).random((1, 96, 40, 3)).astype(np.float32)
+    out = restore_tiled(f, img, "ir", tile=64, overlap=16)
+    assert out.shape == img.shape
+    np.testing.assert_allclose(out, img + 0.25, atol=1e-5)
+    assert all(s[1:3] == (64, 64) for s in shapes)  # fixed tile shapes
+
+    wide = np.random.default_rng(1).random((1, 40, 96, 3)).astype(np.float32)
+    out = restore_tiled(f, wide, "ir", tile=64, overlap=16)
+    np.testing.assert_allclose(out, wide + 0.25, atol=1e-5)

@@ -292,3 +292,22 @@ def test_spatially_sharded_encode_matches_single_device():
         f, t, cfg, sched, x, "ir", rng, num_inference_steps=2))(fz, tr, im)
     assert out.shape == images.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cli_override_forms():
+    """Dotted overrides: '=', space-separated, negative numbers, and bare
+    flags (None) must all parse like LightningCLI."""
+    import tempfile
+
+    from unirestore_tpu.config import load_config
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml") as f:
+        f.write("trainer:\n  max_steps: 4\n")
+        f.flush()
+        cfg = load_config(f.name, [
+            "--trainer.max_steps=7", "--trainer.limit_val_batches", "-1",
+            "--trainer.logger", "--data.num_workers", "3"])
+    assert cfg["trainer"]["max_steps"] == 7
+    assert cfg["trainer"]["limit_val_batches"] == -1
+    assert cfg["trainer"]["logger"] is None
+    assert cfg["data"]["num_workers"] == 3

@@ -54,23 +54,38 @@ def build_restore(args):
     frozen = jax.tree.map(lambda x: x.astype(dt), frozen)
     trainable = jax.tree.map(lambda x: x.astype(dt), trainable)
 
-    jits = {}
+    import collections
+    # bounded LRU of compiled programs: tiled requests all reach base() at
+    # the fixed (batch_tiles, tile, tile) shape, and sub-tile inputs are
+    # padded to %64 below, so distinct shapes stay few — the cap is a
+    # backstop against pathological clients
+    jits = collections.OrderedDict()
+    MAX_JITS = 16
 
-    def base(images, task):
-        key = (images.shape, task)
+    def base(images, task, steps):
+        key = (images.shape, task, steps)
         if key not in jits:
-            def f(fz, tr, img, rng, task=task):
+            def f(fz, tr, img, rng, task=task, steps=steps):
                 return UR.restore(fz, tr, cfg, sched, img.astype(dt), task,
-                                  rng, args.steps)
+                                  rng, steps)
             jits[key] = jax.jit(f)
+            while len(jits) > MAX_JITS:
+                jits.popitem(last=False)
+        jits.move_to_end(key)
         out = jits[key](frozen, trainable, jnp.asarray(images),
                         jax.random.PRNGKey(0))
         return np.asarray(out.astype(jnp.float32))
 
     tile = cfg.min_size
 
-    def restore(images, task):
-        return TIL.restore_tiled(base, images, task, tile=tile,
+    def restore(images, task, steps=None):
+        # sub-tile inputs keep exact reference semantics (resize->pad
+        # inside UR.restore), so each unique small size compiles once and
+        # lives in the LRU; larger inputs go through the fixed-shape tiled
+        # path (no new compiles per size)
+        steps = steps or args.steps
+        fn = lambda im, t: base(im, t, steps)
+        return TIL.restore_tiled(fn, images, task, tile=tile,
                                  overlap=args.overlap,
                                  batch_tiles=args.batch_tiles)
 
@@ -115,6 +130,11 @@ def make_handler(restore, cfg, lock, stats):
                 self._json(400, {"error": f"unknown task {task!r}",
                                  "tasks": list(cfg.tasks)})
                 return
+            try:
+                steps = int(q["steps"][0]) if "steps" in q else None
+            except ValueError:
+                self._json(400, {"error": "steps must be an integer"})
+                return
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n)
             try:
@@ -123,14 +143,19 @@ def make_handler(restore, cfg, lock, stats):
                 self._json(400, {"error": f"bad image: {e}"})
                 return
             arr = np.asarray(img, np.float32)[None] / 255.0
-            with lock:  # one device, serialized execution
-                out = restore(arr, task)[0]
+            try:
+                with lock:  # one device, serialized execution
+                    out = restore(arr, task, steps=steps)[0]
+            except Exception as e:  # surface model/compile failures as 500
+                self._json(500, {"error": f"restore failed: {e}"})
+                return
             out_img = Image.fromarray(
                 np.clip(out * 255.0, 0, 255).astype(np.uint8))
             buf = io.BytesIO()
             out_img.save(buf, format="PNG")
             body = buf.getvalue()
-            stats["served"] += 1
+            with stats["lock"]:
+                stats["served"] += 1
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(len(body)))
@@ -164,7 +189,7 @@ def main():
 
     restore, cfg = build_restore(args)
     lock = threading.Lock()
-    stats = {"served": 0}
+    stats = {"served": 0, "lock": threading.Lock()}
 
     from http.server import ThreadingHTTPServer
 

@@ -12,6 +12,7 @@ drive this framework unchanged.
 from __future__ import annotations
 
 import copy
+import re
 
 import yaml
 
@@ -49,9 +50,14 @@ def load_config(path: str, overrides: list[str] | None = None) -> dict:
                              "(overrides look like --a.b.c=value)")
         key, eq, val = ov.partition("=")
         key = key.lstrip("-")
-        if not eq and i < len(toks) and not toks[i].startswith("-"):
-            val = toks[i]  # space-separated value token
-            i += 1
+        if not eq and i < len(toks):
+            nxt = toks[i]
+            # a value token: anything not starting with '-', or a negative
+            # number (e.g. `--trainer.limit_val_batches -1`)
+            if not nxt.startswith("-") or re.fullmatch(
+                    r"-\d+(\.\d+)?([eE][+-]?\d+)?", nxt):
+                val = nxt
+                i += 1
         set_dotted(cfg, key, yaml.safe_load(val) if val != "" else None)
     return cfg
 

@@ -46,6 +46,16 @@ def restore_tiled(restore_fn, images: np.ndarray, task: str,
     b, h, w, c = images.shape
     if h <= tile and w <= tile:
         return np.asarray(restore_fn(images, task))
+    if h < tile or w < tile:
+        # exactly one dimension under the tile size: pad it up so every
+        # tile slice has the full static (tile, tile) shape, then crop
+        ph, pw = max(0, tile - h), max(0, tile - w)
+        mode = "symmetric" if ph <= h and pw <= w else "edge"
+        padded = np.pad(images, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                        mode=mode)
+        out = restore_tiled(restore_fn, padded, task, tile, overlap,
+                            batch_tiles)
+        return out[:, :h, :w]
     # overlap must leave a positive stride; clamp rather than error so a
     # small working tile (tests / tiny configs) still tiles sensibly
     overlap = min(overlap, tile // 2)

@@ -208,14 +208,16 @@ class UniFIEEngine:
         return run
 
     def restore_tiled_fn(self, num_inference_steps: int | None = None,
-                         tile: int = 512, overlap: int = 64,
+                         tile: int | None = None, overlap: int = 64,
                          batch_tiles: int = 4):
-        """Arbitrary-size restore: inputs larger than ``tile`` are split
-        into fixed-shape overlapping tile batches (ONE compile) and
+        """Arbitrary-size restore: inputs larger than ``tile`` (default:
+        the model's working resolution, cfg.min_size) are split into
+        fixed-shape overlapping tile batches (ONE compile) and
         re-composited with feather blending (ops/tiling.py); smaller inputs
         pass straight through ``restore_fn``."""
         from ..ops import tiling as TIL
 
+        tile = tile or self.cfg.min_size
         base = self.restore_fn(num_inference_steps)
 
         def run(images, task):
@@ -293,6 +295,12 @@ class Trainer:
             start_step = int(meta.get("step", 0))
             print(f"[resume] {resume_path} @ step {start_step}")
         elif self.resume and resume_path:
+            if self.resume not in (True, "auto", "true"):
+                # an EXPLICIT path that doesn't exist is a user error —
+                # silently restarting would overwrite the state they
+                # meant to continue
+                raise FileNotFoundError(
+                    f"trainer.resume checkpoint not found: {resume_path}")
             print(f"[resume] no checkpoint at {resume_path}; "
                   "starting from scratch")
 
