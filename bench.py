@@ -87,8 +87,30 @@ def main():
         return
 
     import subprocess
+
+    def emit(results):
+        """Print the cumulative JSON line; re-emitted after every mode so
+        the last stdout line is always a valid result even if an outer
+        harness timeout kills the remaining modes."""
+        primary = results.get(PRIMARY, results.get("none", 0.0))
+        label = {"none": "", "encoder": " [encoder propagation]",
+                 "deep": f" [deep cache /{TURBO_STRIDE}]"}[PRIMARY]
+        print(json.dumps({
+            "metric": "512px restored images/sec/chip (20-step DDIM)"
+                      + label,
+            "value": round(primary, 3),
+            "unit": "img/s",
+            "vs_baseline": round(primary / BASELINE_IMGS_PER_SEC, 3),
+            "exact_value": round(results.get("none", 0.0), 3),
+            "encoder_prop_value": round(results.get("encoder", 0.0), 3),
+            "turbo_value": round(results.get("deep", 0.0), 3),
+            "turbo_stride": TURBO_STRIDE,
+        }), flush=True)
+
     results = {}
-    for m in ("none", "encoder", "deep"):
+    # exact (the primary) first, then the headline turbo, encoder last —
+    # an early kill still leaves the most important numbers on stdout
+    for m in ("none", "deep", "encoder"):
         env = dict(os.environ, BENCH_MODE=m)
         try:
             # bound each mode: a wedged remote-compile tunnel must not hang
@@ -100,6 +122,7 @@ def main():
         except subprocess.TimeoutExpired as e:
             print(f"# mode {m} timed out: {e}", file=sys.stderr)
             results[m] = 0.0
+            emit(results)
             continue
         for line in proc.stdout.splitlines():
             if line.startswith("RESULT "):
@@ -108,20 +131,7 @@ def main():
             print(f"# mode {m} failed:\n{proc.stdout[-2000:]}"
                   f"\n{proc.stderr[-2000:]}", file=sys.stderr)
             results[m] = 0.0
-
-    primary = results[PRIMARY]
-    label = {"none": "", "encoder": " [encoder propagation]",
-             "deep": f" [deep cache /{TURBO_STRIDE}]"}[PRIMARY]
-    print(json.dumps({
-        "metric": "512px restored images/sec/chip (20-step DDIM)" + label,
-        "value": round(primary, 3),
-        "unit": "img/s",
-        "vs_baseline": round(primary / BASELINE_IMGS_PER_SEC, 3),
-        "exact_value": round(results["none"], 3),
-        "encoder_prop_value": round(results["encoder"], 3),
-        "turbo_value": round(results["deep"], 3),
-        "turbo_stride": TURBO_STRIDE,
-    }))
+        emit(results)
 
 
 if __name__ == "__main__":

@@ -11,7 +11,10 @@ optimizer state and step), and stage surgery is top-level-key selection:
 - tedit ckpt  -> "tfa" subtree ("task_prompts" merged non-strictly so new
   tasks keep their fresh zero-init prompts, engine_unifie.py:112-114)
 
-Format: orbax (async-capable) with a numpy .npz fallback for portability.
+Format: flat numpy .npz ("path//to//leaf" keys + a JSON __meta__ entry) —
+self-contained, portable, and fast enough for adapter-sized trees (the
+checkpoints deliberately exclude the frozen SD backbone, so they are
+~100 MB, not ~5 GB; orbax would only pay off at full-model scale).
 """
 
 from __future__ import annotations
