@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from unirestore_tpu.models import unirestore as UR
 from unirestore_tpu.parallel import make_mesh, replicate, shard_batch
@@ -311,3 +312,22 @@ def test_cli_override_forms():
     assert cfg["trainer"]["limit_val_batches"] == -1
     assert cfg["trainer"]["logger"] is None
     assert cfg["data"]["num_workers"] == 3
+
+
+@pytest.mark.parametrize("name", ["train_stage1.yaml", "train_stage2.yaml",
+                                  "train_stage3.yaml", "val.yaml"])
+def test_reference_yamls_build_unchanged(name):
+    """The reference's own config files must drive this framework without
+    modification (the YAML surface is the public API, SURVEY §5)."""
+    path = os.path.join("/root/reference/configs", name)
+    if not os.path.exists(path):
+        pytest.skip("reference configs not available")
+    from unirestore_tpu import config as C
+
+    cfg = C.load_config(path, [])
+    etype = C.engine_type(cfg)
+    engine, trainer, data, evf = C.build(cfg, tiny=True)
+    assert engine.cfg.use_cfrm and engine.cfg.use_cnet
+    assert etype in ("ir", "mtl")
+    if name == "train_stage3.yaml":
+        assert "det" in engine.cfg.tasks
