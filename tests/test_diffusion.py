@@ -173,6 +173,13 @@ def test_ddim_deep_cache_runs_and_bounded():
                             num_inference_steps=6, cache_mode="deep",
                             cache_stride=3, cache_warmup=1)
     assert warm1.shape == full.shape
+    # negative warmup must be a clear validation error, not a trace-time
+    # shape failure
+    import pytest
+    with pytest.raises(ValueError, match="cache_warmup"):
+        UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                        num_inference_steps=6, cache_mode="deep",
+                        cache_stride=3, cache_warmup=-1)
 
 
 def test_ddim_encoder_propagation_runs_and_bounded():

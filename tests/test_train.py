@@ -168,6 +168,54 @@ def test_checkpoint_manager_top_k():
         assert "val=30.0000" in mgr.best_path
 
 
+def test_checkpoint_manager_adopts_previous_run():
+    """On resume, checkpoints from a previous run must participate in
+    top-k pruning (not accumulate forever)."""
+    cfg, frozen, trainable, sched, _ = _tiny_setup()
+    with tempfile.TemporaryDirectory() as d:
+        mgr = CKPT.CheckpointManager(d, save_top_k=2, mode="max")
+        for step, val in [(1, 10.0), (2, 30.0)]:
+            mgr.save(trainable, step, val)
+        # simulate a restart: a fresh manager over the same directory
+        mgr2 = CKPT.CheckpointManager(d, save_top_k=2, mode="max")
+        assert "val=30.0000" in mgr2.best_path
+        mgr2.save(trainable, 3, 20.0)  # beats 10.0 from the previous run
+        files = sorted(os.listdir(d))
+        assert len(files) == 2
+        assert any("val=30.0000" in f for f in files)
+        assert any("val=20.0000" in f for f in files)
+
+
+def test_restore_opt_state_structure_mismatch_is_fresh():
+    """Changing the optimizer chain between save and resume must not
+    restore shape-compatible leaves into wrong slots."""
+    import optax
+
+    cfg, frozen, trainable, sched, _ = _tiny_setup()
+    tx_a = optax.adamw(1e-4)
+    state_a = tx_a.init(trainable)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        CKPT.save_checkpoint(path, trainable, step=1, opt_state=state_a)
+        # same structure restores exactly
+        same = CKPT.restore_opt_state(path, jax.tree.map(
+            lambda x: jnp.zeros_like(x) if hasattr(x, "shape") else x,
+            state_a))
+        a_leaves = [x for x in jax.tree.leaves(state_a)
+                    if hasattr(x, "shape")]
+        s_leaves = [x for x in jax.tree.leaves(same) if hasattr(x, "shape")]
+        for a, s in zip(a_leaves, s_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(s))
+        # different chain (extra leaves) -> fresh template, no mis-slotting
+        tx_b = optax.chain(optax.clip_by_global_norm(1.0),
+                           optax.adamw(1e-4), optax.adamw(1e-4))
+        state_b = tx_b.init(trainable)
+        restored = CKPT.restore_opt_state(path, state_b)
+        for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state_b)):
+            if hasattr(a, "shape"):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_onecycle_schedule_shape():
     sched = OPT.make_lr_schedule("onecycle", peak_lr=1e-3, total_steps=1000)
     np.testing.assert_allclose(float(sched(100)), 1e-3, rtol=1e-5)  # peak @10%
@@ -312,6 +360,20 @@ def test_cli_override_forms():
     assert cfg["trainer"]["limit_val_batches"] == -1
     assert cfg["trainer"]["logger"] is None
     assert cfg["data"]["num_workers"] == 3
+
+    # leading-dot negative floats and -.inf are value tokens too
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml") as f:
+        f.write("a: {}\n")
+        f.flush()
+        cfg = load_config(f.name, ["--a.b", "-.5", "--a.c", "-.inf",
+                                   "--a.d", "-2e-3"])
+        assert cfg["a"]["b"] == -0.5
+        assert cfg["a"]["c"] == float("-inf")
+        assert cfg["a"]["d"] == -2e-3
+        # a dash-leading non-numeric token after a valueless flag is an
+        # error, not a silent flag named '.5'
+        with pytest.raises(ValueError, match="ambiguous"):
+            load_config(f.name, ["--a.b", "-x5"])
 
 
 @pytest.mark.parametrize("name", ["train_stage1.yaml", "train_stage2.yaml",

@@ -53,13 +53,32 @@ def load_config(path: str, overrides: list[str] | None = None) -> dict:
         if not eq and i < len(toks):
             nxt = toks[i]
             # a value token: anything not starting with '-', or a negative
-            # number (e.g. `--trainer.limit_val_batches -1`)
-            if not nxt.startswith("-") or re.fullmatch(
-                    r"-\d+(\.\d+)?([eE][+-]?\d+)?", nxt):
+            # number (incl. leading-dot floats and inf/nan, e.g.
+            # `--trainer.limit_val_batches -1`, `--a.b -.5`, `--a.b -.inf`)
+            if not nxt.startswith("-") or re.fullmatch(_NUMERIC, nxt,
+                                                       re.IGNORECASE):
                 val = nxt
                 i += 1
-        set_dotted(cfg, key, yaml.safe_load(val) if val != "" else None)
+            elif not nxt.startswith("--"):
+                raise ValueError(
+                    f"ambiguous token {nxt!r} after valueless flag "
+                    f"{ov!r}: use --key=value for dash-leading values")
+        set_dotted(cfg, key, _parse_scalar(val))
     return cfg
+
+
+_NUMERIC = r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?|[+-]?\.?(inf|nan)"
+
+
+def _parse_scalar(text: str):
+    """YAML-parse a CLI value, with a numeric fallback for forms YAML 1.1
+    leaves as strings (leading-dot floats `-.5`, dotless exponents `2e-3`)."""
+    if text == "":
+        return None
+    v = yaml.safe_load(text)
+    if isinstance(v, str) and re.fullmatch(_NUMERIC, v, re.IGNORECASE):
+        return float(v)
+    return v
 
 
 def set_dotted(cfg: dict, dotted: str, value):

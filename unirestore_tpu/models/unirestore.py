@@ -211,6 +211,8 @@ def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
                          f"got {mode!r}")
     stride = cache_stride if cache_stride is not None else cfg.cache_stride
     warmup = cache_warmup if cache_warmup is not None else cfg.cache_warmup
+    if warmup < 0:
+        raise ValueError(f"cache_warmup must be >= 0, got {warmup}")
     ts = jnp.asarray(D.ddim_timesteps(n))
     bsz = zt.shape[0]
 

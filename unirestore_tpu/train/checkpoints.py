@@ -62,13 +62,15 @@ def save_checkpoint(path: str, trainable, step: int, opt_state=None,
                     metadata: dict | None = None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = tree_flatten_dict(jax.tree.map(np.asarray, trainable), "trainable" + SEP)
+    meta_opt = {}
     if opt_state is not None:
         opt_leaves = jax.tree.leaves(opt_state)
+        meta_opt["opt_num_leaves"] = len(opt_leaves)
         for i, leaf in enumerate(opt_leaves):
             arr = np.asarray(leaf)
             if arr.dtype != object:
                 flat[f"opt{SEP}{i}"] = arr
-    meta = {"step": int(step), **(metadata or {})}
+    meta = {"step": int(step), **meta_opt, **(metadata or {})}
     np.savez(path, __meta__=json.dumps(meta), **flat)
 
 
@@ -102,12 +104,25 @@ def load_subtree(path: str, template, keys):
 
 
 def restore_opt_state(path: str, opt_state_template):
-    flat, _ = load_checkpoint(path)
+    """Restore optimizer state by flat leaf index, refusing to restore into
+    a structurally different optimizer (chain/schedule changed between save
+    and resume would silently fill wrong slots otherwise)."""
+    flat, meta = load_checkpoint(path)
     leaves, treedef = jax.tree.flatten(opt_state_template)
+    n_saved = meta.get("opt_num_leaves")
+    if n_saved is not None and n_saved != len(leaves):
+        print(f"[checkpoint] optimizer structure changed ({n_saved} saved "
+              f"leaves vs {len(leaves)} in template); starting optimizer "
+              "state fresh")
+        return opt_state_template
     out = []
     for i, leaf in enumerate(leaves):
-        key = f"opt{SEP}{i}"
-        out.append(flat[key] if key in flat else leaf)
+        arr = flat.get(f"opt{SEP}{i}")
+        if arr is not None and np.shape(arr) != np.shape(leaf):
+            print(f"[checkpoint] optimizer leaf {i} shape {np.shape(arr)} "
+                  f"!= template {np.shape(leaf)}; keeping fresh value")
+            arr = None
+        out.append(arr if arr is not None else leaf)
     return jax.tree.unflatten(treedef, out)
 
 
@@ -123,6 +138,16 @@ class CheckpointManager:
         self.monitor = monitor
         self._saved: list[tuple[float, str]] = []
         os.makedirs(directory, exist_ok=True)
+        # Adopt checkpoints left by a previous run (trainer.resume) so
+        # top-k pruning spans restarts instead of only this process's saves.
+        for fname in sorted(os.listdir(directory)):
+            m = re.fullmatch(r"step=\d+-val=(-?[\d.]+(?:[eE][+-]?\d+)?)\.npz",
+                             fname)
+            if m:
+                v = float(m.group(1))
+                self._saved.append((v if mode == "max" else -v,
+                                    os.path.join(directory, fname)))
+        self._saved.sort(key=lambda t: -t[0])
 
     def save(self, trainable, step: int, metric_value: float, opt_state=None,
              metadata=None):
