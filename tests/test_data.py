@@ -186,3 +186,33 @@ def test_engine_mtl_loaders(fixtures):
     assert tasks.issubset({"ir", "cls", "seg"}) and len(tasks) >= 2
     vls = eng.val_dataloader()
     assert len(vls) == 3
+
+
+def test_engine_noise_sigma_protocol(fixtures):
+    """The AWGN eval protocol (reference dataset_ir.py:259-267) runs at
+    sigma in {15, 25, 50}: a noise_sigma list yields one loader per level,
+    and higher sigma yields noisier lq."""
+    import numpy as np
+
+    def engine(sig):
+        val = {"type": "noise", "val_list": ["DIVF2KOST"], "batch_size": 1}
+        if sig != "default":
+            val["noise_sigma"] = sig
+        return DatasetEngine(task="ir", train={"type": "div2kost",
+                                               "resolution": 64},
+                             val=val, dataset_dict=fixtures, num_workers=0)
+
+    # default pins sigma=50 (reference data/__init__.py:273)
+    dl = engine("default").val_dataloader()
+    assert dl.source.sigmas == [50]
+    # per-level list -> one loader per sigma
+    loaders = engine([15, 25, 50]).val_dataloader()
+    assert [l.source.sigmas for l in loaders] == [[15], [25], [50]]
+    noise_power = []
+    for dl in loaders:
+        b = next(iter(dl))
+        noise_power.append(float(np.mean((b["lq"] - b["hq"]) ** 2)))
+    assert noise_power[0] < noise_power[1] < noise_power[2]
+    # explicit null -> per-sample random choice over all three levels
+    dl = engine(None).val_dataloader()
+    assert dl.source.sigmas == [15, 25, 50]

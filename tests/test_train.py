@@ -216,6 +216,26 @@ def test_restore_opt_state_structure_mismatch_is_fresh():
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_engine_jit_cache_is_bounded():
+    """restore_fn compiles one program per (shape, task); the cache must
+    evict LRU entries instead of growing without bound on arbitrary-size
+    predict streams."""
+    from unirestore_tpu.train.engine import UniFIEEngine
+
+    eng = UniFIEEngine({"frenc": {"type": "CFRM"},
+                        "cnet": {"type": "scedit", "num_inference_steps": 1}},
+                       tiny=True, compute_dtype="float32")
+    eng._jit_cache_max = 2
+    run = eng.restore_fn(num_inference_steps=1)
+    for hw in (64, 96, 128):
+        img = np.zeros((1, hw, hw, 3), np.float32)
+        out = run(img, "ir")
+        assert out.shape == img.shape
+    assert len(eng._jit_cache) == 2
+    keys = list(eng._jit_cache)
+    assert all(k[1][1] in (96, 128) for k in keys)  # 64 evicted (LRU)
+
+
 def test_onecycle_schedule_shape():
     sched = OPT.make_lr_schedule("onecycle", peak_lr=1e-3, total_steps=1000)
     np.testing.assert_allclose(float(sched(100)), 1e-3, rtol=1e-5)  # peak @10%
@@ -252,6 +272,7 @@ def test_data_parallel_inference_on_8_device_mesh():
                                atol=5e-3)
 
 
+@pytest.mark.slow
 def test_predict_cli_writes_outputs(tmp_path):
     """End-to-end `main.py predict` on the tiny smoke config: restores the
     val set and writes one PNG per input (reference: LightningCLI predict
@@ -277,6 +298,7 @@ def test_predict_cli_writes_outputs(tmp_path):
     assert pngs, "predict wrote no images"
 
 
+@pytest.mark.slow
 def test_fit_resume_from_last_checkpoint(tmp_path):
     """Restart-based recovery: a second fit with trainer.resume continues
     from last.npz (trainable + optimizer state + step counter) instead of

@@ -105,11 +105,24 @@ class DatasetEngine:
             if vtype not in cls_by_type:
                 raise NotImplementedError(vtype)
             loaders = []
+            # sigma protocol (reference dataset_ir.py:259-267): the AWGN
+            # eval runs at sigma in {15, 25, 50}. val.noise_sigma may be a
+            # single level or a list (one loader per level per dataset);
+            # default 50 matches the reference datamodule's pin
+            # (data/__init__.py:273).
+            sigmas = self.val.get("noise_sigma", 50)
+            if not isinstance(sigmas, (list, tuple)):
+                sigmas = [sigmas]
             for name in self.val.get("val_list", []):
                 split = "test" if "test" in self.dd[name] else "val"
-                extra = {"noise_sigma": 50} if vtype == "noise" else {}
-                loaders.append(loader(cls_by_type[vtype](
-                    self._imgdata(name, split), **kw, **extra)))
+                if vtype == "noise":
+                    for s in sigmas:
+                        loaders.append(loader(cls_by_type[vtype](
+                            self._imgdata(name, split), **kw,
+                            noise_sigma=s)))
+                else:
+                    loaders.append(loader(cls_by_type[vtype](
+                        self._imgdata(name, split), **kw)))
             return loaders if len(loaders) != 1 else loaders[0]
         if t == "cls":
             name = "CUB" if vtype == "CUB" else "ImageNet"

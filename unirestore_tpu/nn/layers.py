@@ -118,9 +118,10 @@ def group_norm(p, x, groups: int = 32, eps: float = 1e-5):
     input dtype so XLA fuses it with neighbors.
     """
     b, h, w, c = x.shape
+    sdt = jnp.promote_types(jnp.float32, x.dtype)  # >=fp32 statistics
     xg = x.reshape(b, h, w, groups, c // groups)
-    mean = jnp.mean(xg, axis=(1, 2, 4), dtype=jnp.float32)  # (b, g)
-    mean2 = jnp.mean(lax.square(xg.astype(jnp.float32)), axis=(1, 2, 4))
+    mean = jnp.mean(xg, axis=(1, 2, 4), dtype=sdt)  # (b, g)
+    mean2 = jnp.mean(lax.square(xg.astype(sdt)), axis=(1, 2, 4))
     var = mean2 - lax.square(mean)
     inv = lax.rsqrt(var + eps)  # (b, g)
     # fold norm + affine into per-(b, c) scale/shift
@@ -129,8 +130,8 @@ def group_norm(p, x, groups: int = 32, eps: float = 1e-5):
     scale = inv_c
     shift = -mean_c * inv_c
     if p is not None:
-        g = p["scale"].astype(jnp.float32)
-        bta = p["bias"].astype(jnp.float32)
+        g = p["scale"].astype(sdt)
+        bta = p["bias"].astype(sdt)
         scale = scale * g
         shift = shift * g + bta
     scale = scale[:, None, None, :].astype(x.dtype)
@@ -141,9 +142,9 @@ def group_norm(p, x, groups: int = 32, eps: float = 1e-5):
 def layer_norm(p, x, eps: float = 1e-5):
     """LayerNorm over the last axis (torch nn.LayerNorm / timm LayerNorm2d
     in NHWC). fp32 accumulation without a materialized fp32 copy."""
-    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-    mean2 = jnp.mean(lax.square(x.astype(jnp.float32)), axis=-1,
-                     keepdims=True)
+    sdt = jnp.promote_types(jnp.float32, x.dtype)  # >=fp32 statistics
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=sdt)
+    mean2 = jnp.mean(lax.square(x.astype(sdt)), axis=-1, keepdims=True)
     inv = lax.rsqrt(mean2 - lax.square(mean) + eps)
     scale = inv.astype(x.dtype)
     shift = (-mean * inv).astype(x.dtype)
@@ -159,7 +160,7 @@ def instance_norm(x, eps: float = 1e-5):
     Reference: taskeditor.py:31 (InstanceNorm2d inside TFA gates).
     """
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.promote_types(jnp.float32, x.dtype))
     mean = xf.mean(axis=(1, 2), keepdims=True)
     var = xf.var(axis=(1, 2), keepdims=True)
     return ((xf - mean) * lax.rsqrt(var + eps)).astype(orig_dtype)

@@ -12,6 +12,7 @@ seg), CLF, Semseg, DET.
 
 from __future__ import annotations
 
+import collections
 import os
 import time
 
@@ -117,7 +118,13 @@ class UniFIEEngine:
 
         self.frozen = frozen
         self.trainable = trainable
-        self._jit_cache = {}
+        # bounded LRU of compiled restore programs, keyed by (shape, task):
+        # arbitrary-size predict would otherwise grow one XLA executable per
+        # distinct input shape without limit (serve.py bounds its cache the
+        # same way)
+        self._jit_cache = collections.OrderedDict()
+        self._jit_cache_max = int(os.environ.get(
+            "UNIRESTORE_JIT_CACHE_SIZE", "8"))
 
     # -- losses (engine variants, engine_unifie.py:238-336) ---------------
 
@@ -194,13 +201,17 @@ class UniFIEEngine:
 
         def run(images, task):
             tr = jax.tree.map(lambda x: x.astype(dt), self.trainable)
-            key = ("restore", images.shape, task)
+            key = ("restore", images.shape, task, num_inference_steps)
             if key not in self._jit_cache:
                 def f(fz, t, img, rng):
                     return UR.restore(fz, t, self.cfg, self.sched,
                                       img.astype(dt), task, rng,
                                       num_inference_steps)
                 self._jit_cache[key] = jax.jit(f)
+                while len(self._jit_cache) > self._jit_cache_max:
+                    self._jit_cache.popitem(last=False)
+            else:
+                self._jit_cache.move_to_end(key)
             rng = jax.random.PRNGKey(0)
             out = self._jit_cache[key](frozen, tr, jnp.asarray(images), rng)
             return np.asarray(out.astype(jnp.float32))
