@@ -81,3 +81,73 @@ def test_reference_adapter_checkpoint_full_coverage():
         tree["tfa"],
         {"task_editors": TFA.tfa_init(key),
          "task_prompts": TFA.task_prompts_init(("ir", "cls", "seg"))})
+
+
+def _fake_controller_sd(pfx="model.controller"):
+    """The reference Controller's state-dict key set under stablesr_config
+    (controller.py:29-45): channels 256, mult (1,1,2,2), 2 resnets/stage,
+    AttnDownBlock2D x3 + DownBlock2D, UNetMidBlock2D, conv downsample.
+    Shapes follow the diffusers module definitions (torch OIHW / [out,in])."""
+    sd = {}
+
+    def conv(name, cout, cin, k=3):
+        sd[f"{name}.weight"] = np.zeros((cout, cin, k, k), np.float32)
+        sd[f"{name}.bias"] = np.zeros((cout,), np.float32)
+
+    def lin(name, cout, cin):
+        sd[f"{name}.weight"] = np.zeros((cout, cin), np.float32)
+        sd[f"{name}.bias"] = np.zeros((cout,), np.float32)
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = np.zeros((c,), np.float32)
+        sd[f"{name}.bias"] = np.zeros((c,), np.float32)
+
+    def resnet(name, cin, cout, temb=1024):
+        norm(f"{name}.norm1", cin)
+        conv(f"{name}.conv1", cout, cin)
+        lin(f"{name}.time_emb_proj", cout, temb)
+        norm(f"{name}.norm2", cout)
+        conv(f"{name}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{name}.conv_shortcut", cout, cin, k=1)
+
+    def attn(name, c):
+        norm(f"{name}.group_norm", c)
+        for q in ("to_q", "to_k", "to_v"):
+            lin(f"{name}.{q}", c, c)
+        lin(f"{name}.to_out.0", c, c)
+
+    lin(f"{pfx}.time_embedding.linear_1", 1024, 256)
+    lin(f"{pfx}.time_embedding.linear_2", 1024, 1024)
+    conv(f"{pfx}.conv_in", 256, 4)
+    chans = [256, 256, 512, 512]
+    cin = 256
+    for i, cout in enumerate(chans):
+        base = f"{pfx}.down_blocks.{i}"
+        for j in range(2):
+            resnet(f"{base}.resnets.{j}", cin if j == 0 else cout, cout)
+            if i < 3:  # AttnDownBlock2D stages
+                attn(f"{base}.attentions.{j}", cout)
+        if i < 3:
+            conv(f"{base}.downsamplers.0.conv", cout, cout)
+        cin = cout
+    resnet(f"{pfx}.middle_block.resnets.0", 512, 512)
+    attn(f"{pfx}.middle_block.attentions.0", 512)
+    resnet(f"{pfx}.middle_block.resnets.1", 512, 512)
+    for i, c in enumerate(chans):
+        resnet(f"{pfx}.fea_tran.{i}", c, 256)
+    return sd
+
+
+def test_controller_conversion_full_coverage():
+    """The Controller can't be instantiated here (diffusers absent), so the
+    fake state dict transcribes the diffusers key naming; conversion must
+    exactly cover our controller_init layout (keys and shapes)."""
+    from unirestore_tpu.models import controller as CTRL
+
+    sd = _fake_controller_sd()
+    tree = CA.convert_reference_checkpoint(sd)
+    assert set(tree) == {"controller"}
+    ours = CTRL.controller_init(jax.random.PRNGKey(0),
+                                CTRL.ControllerConfig())
+    _assert_same_layout(tree["controller"], ours)

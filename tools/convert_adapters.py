@@ -155,6 +155,74 @@ def convert_tfa(sd, pfx="model.ae.vae.decoder"):
     return {"task_editors": editors, "task_prompts": prompts}
 
 
+# -- Controller (controller.py:65-220, diffusers block naming) ---------------
+
+
+def _resnet(sd, pfx):
+    p = {
+        "norm1": _norm(sd, f"{pfx}.norm1"),
+        "conv1": _conv(sd, f"{pfx}.conv1"),
+        "norm2": _norm(sd, f"{pfx}.norm2"),
+        "conv2": _conv(sd, f"{pfx}.conv2"),
+    }
+    if f"{pfx}.time_emb_proj.weight" in sd:
+        p["time_emb_proj"] = _lin(sd, f"{pfx}.time_emb_proj")
+    if f"{pfx}.conv_shortcut.weight" in sd:
+        p["conv_shortcut"] = _conv(sd, f"{pfx}.conv_shortcut")
+    return p
+
+
+def _attn(sd, pfx):
+    """Deprecated-style diffusers Attention (residual, biased qkv), as in
+    AttnDownBlock2D / UNetMidBlock2D."""
+    return {
+        "group_norm": _norm(sd, f"{pfx}.group_norm"),
+        "attn": {
+            "to_q": _lin(sd, f"{pfx}.to_q"),
+            "to_k": _lin(sd, f"{pfx}.to_k"),
+            "to_v": _lin(sd, f"{pfx}.to_v"),
+            "to_out": _lin(sd, f"{pfx}.to_out.0"),
+        },
+    }
+
+
+def convert_controller(sd, pfx="model.controller", n_stages: int = 4,
+                       num_res_blocks: int = 2):
+    """StableSR-config Controller: AttnDownBlock2D x3 + DownBlock2D +
+    UNetMidBlock2D + 4 fea_tran ResnetBlock2Ds (controller.py:29-45).
+    Attention/downsample presence is detected from the keys, so the
+    sdxl/mysd2 stage layouts convert too."""
+    p = {
+        "time_embedding": {
+            "linear_1": _lin(sd, f"{pfx}.time_embedding.linear_1"),
+            "linear_2": _lin(sd, f"{pfx}.time_embedding.linear_2"),
+        },
+        "conv_in": _conv(sd, f"{pfx}.conv_in"),
+        "down_blocks": [],
+        "fea_tran": [],
+    }
+    for i in range(n_stages):
+        base = f"{pfx}.down_blocks.{i}"
+        blk = {"resnets": [], "attentions": []}
+        for j in range(num_res_blocks):
+            blk["resnets"].append(_resnet(sd, f"{base}.resnets.{j}"))
+            if f"{base}.attentions.{j}.to_q.weight" in sd:
+                blk["attentions"].append(_attn(sd, f"{base}.attentions.{j}"))
+        if f"{base}.downsamplers.0.conv.weight" in sd:
+            blk["downsample"] = {"conv": _conv(sd,
+                                               f"{base}.downsamplers.0.conv")}
+        p["down_blocks"].append(blk)
+    mid = f"{pfx}.middle_block"
+    p["mid"] = {
+        "resnet1": _resnet(sd, f"{mid}.resnets.0"),
+        "attn": _attn(sd, f"{mid}.attentions.0"),
+        "resnet2": _resnet(sd, f"{mid}.resnets.1"),
+    }
+    for i in range(n_stages):
+        p["fea_tran"].append(_resnet(sd, f"{pfx}.fea_tran.{i}"))
+    return p
+
+
 # -- whole-checkpoint conversion ---------------------------------------------
 
 
@@ -169,7 +237,6 @@ def convert_reference_checkpoint(sd: dict) -> dict:
     if any(k.startswith("model.ae.vae.decoder.task_editors.") for k in sd):
         out["tfa"] = convert_tfa(sd)
     if any(k.startswith("model.controller.") for k in sd):
-        from convert_controller import convert_controller
         out["controller"] = convert_controller(sd, pfx="model.controller")
     return out
 
