@@ -8,10 +8,10 @@ random init + warning when absent — scores then have the right shape and
 protocol but arbitrary values). NIQE/PI are host-side numpy (classical
 statistics over MSCN coefficients).
 
-PI = 0.5 * ((10 - NRQM) + NIQE) (Blau et al., PIRM 2018). NRQM's exact Ma
-et al. pipeline (steerable pyramids + random forests) is not ported; when
-``nrqm.npz`` is absent we substitute the dataset-calibrated constant
-NRQM=5 (mid scale) and warn once — NIQE still drives the ranking signal.
+PI = 0.5 * ((10 - NRQM) + NIQE) (Blau et al., PIRM 2018). NRQM is the Ma
+et al. three-feature-group + regression-forest pipeline (evalx/nrqm.py),
+self-calibrated by tools/fit_nrqm.py; when no fitted model exists PI falls
+back to the constant NRQM=5 with a warning (NIQE then drives the ranking).
 """
 
 from __future__ import annotations
@@ -91,20 +91,30 @@ def _hyperiqa_metric(seed: int):
 
 
 class PIMetric:
-    """Perceptual Index: 0.5 * ((10 - NRQM) + NIQE)."""
+    """Perceptual Index: 0.5 * ((10 - NRQM) + NIQE).
 
-    def __init__(self, niqe_metric, nrqm_const: float = 5.0):
+    ``nrqm_metric`` is the fitted Ma et al. pipeline when available;
+    otherwise the constant ``nrqm_const`` stands in (NIQE still ranks)."""
+
+    def __init__(self, niqe_metric, nrqm_metric=None, nrqm_const: float = 5.0):
         self.niqe = niqe_metric
+        self.nrqm = nrqm_metric
         self.nrqm_const = nrqm_const
 
     def update(self, images):
         self.niqe.update(images)
+        if self.nrqm is not None:
+            self.nrqm.update(images)
 
     def compute(self):
-        return 0.5 * ((10.0 - self.nrqm_const) + self.niqe.compute())
+        nrqm = (self.nrqm.compute() if self.nrqm is not None
+                else self.nrqm_const)
+        return 0.5 * ((10.0 - nrqm) + self.niqe.compute())
 
     def reset(self):
         self.niqe.reset()
+        if self.nrqm is not None:
+            self.nrqm.reset()
 
 
 def build_nr_suite(names=None, seed: int = 11) -> dict:
@@ -143,11 +153,19 @@ def build_nr_suite(names=None, seed: int = 11) -> dict:
                     f"NR metric '{name}' skipped: no NIQE pristine model "
                     "(fit one with tools/fit_niqe.py)")
                 continue
-            out[name] = m if name == "niqe" else PIMetric(m)
-            if name == "pi":
-                _warn_once(
-                    "PI uses NRQM=5.0 (constant) — exact Ma et al. NRQM "
-                    "is not ported; NIQE drives the ranking signal")
+            if name == "niqe":
+                out[name] = m
+            else:
+                from .nrqm import NRQMMetric
+                try:
+                    nrqm = NRQMMetric()
+                except FileNotFoundError:
+                    nrqm = None
+                    _warn_once(
+                        "PI uses NRQM=5.0 (constant) — no fitted NRQM "
+                        "model (fit one with tools/fit_nrqm.py); NIQE "
+                        "drives the ranking signal")
+                out[name] = PIMetric(m, nrqm_metric=nrqm)
         else:
             raise ValueError(f"unknown NR metric {name}")
     return out
