@@ -131,3 +131,77 @@ def test_task_metric_flattening():
     tm.metrics["lq"]["psnr"].update(20.0)
     out = tm.compute_metrics("val")
     assert out == {"val_hq/psnr": 30.0, "val_lq/psnr": 20.0}
+
+
+def test_metric_merge_equals_single_rank():
+    """Rank-merge (torchmetrics dist_reduce sync,
+    eval_image_restoration.py:263) must equal single-process accumulation
+    for every metric family used by the evaluators."""
+    # MeanMetric
+    a, b, ref = M.MeanMetric(), M.MeanMetric(), M.MeanMetric()
+    for v in (1.0, 2.0):
+        a.update(v)
+        ref.update(v)
+    for v in (5.0, 9.0, 3.0):
+        b.update(v)
+        ref.update(v)
+    a.merge(b)
+    assert a.compute() == pytest.approx(ref.compute())
+
+    # ConfusionIoU
+    rng = np.random.default_rng(0)
+    t1 = rng.integers(0, 3, (2, 8, 8))
+    p1 = rng.integers(0, 3, (2, 8, 8))
+    t2 = rng.integers(0, 3, (3, 8, 8))
+    p2 = rng.integers(0, 3, (3, 8, 8))
+    ia, ib, iref = (M.ConfusionIoU(3) for _ in range(3))
+    ia.update(p1, t1)
+    ib.update(p2, t2)
+    iref.update(p1, t1)
+    iref.update(p2, t2)
+    ia.merge(ib)
+    assert ia.compute() == pytest.approx(iref.compute())
+
+    # TopKAccuracy
+    logits1 = rng.normal(size=(4, 10))
+    labels1 = rng.integers(0, 10, 4)
+    logits2 = rng.normal(size=(6, 10))
+    labels2 = rng.integers(0, 10, 6)
+    ka, kb, kref = (M.TopKAccuracy(1) for _ in range(3))
+    ka.update(logits1, labels1)
+    kb.update(logits2, labels2)
+    kref.update(logits1, labels1)
+    kref.update(logits2, labels2)
+    ka.merge(kb)
+    assert ka.compute() == pytest.approx(kref.compute())
+
+    # MeanAveragePrecision
+    def boxes(n):
+        xy = rng.uniform(0, 50, (n, 2))
+        return np.concatenate([xy, xy + rng.uniform(5, 20, (n, 2))], 1)
+
+    def preds(n):
+        return [{"boxes": boxes(n), "scores": rng.uniform(size=n),
+                 "labels": rng.integers(0, 2, n)}]
+
+    def tgts(n):
+        return [{"boxes": boxes(n), "labels": rng.integers(0, 2, n)}]
+
+    pa = [preds(3)[0], preds(2)[0]]
+    ta = [tgts(2)[0], tgts(3)[0]]
+    ma, mb, mref = (M.MeanAveragePrecision() for _ in range(3))
+    ma.update([pa[0]], [ta[0]])
+    mb.update([pa[1]], [ta[1]])
+    mref.update(pa, ta)
+    ma.merge(mb)
+    assert ma.compute() == pytest.approx(mref.compute())
+
+
+def test_task_metric_merge_metrics():
+    tma, tmb = TaskMetric(["lq"]), TaskMetric(["lq"])
+    for tm in (tma, tmb):
+        tm.add_metric("psnr", M.MeanMetric)
+    tma.metrics["lq"]["psnr"].update(30.0)
+    tmb.metrics["lq"]["psnr"].update(20.0)
+    tma.merge_metrics(tmb)
+    assert tma.compute_metrics("val") == {"val_lq/psnr": 25.0}

@@ -102,6 +102,9 @@ class ConfusionIoU:
         self.mat += np.bincount(idx, minlength=self.n * self.n).reshape(
             self.n, self.n)
 
+    def merge(self, other: "ConfusionIoU"):
+        self.mat += other.mat
+
     def compute(self):
         inter = np.diag(self.mat).astype(np.float64)
         union = self.mat.sum(0) + self.mat.sum(1) - np.diag(self.mat)
@@ -135,6 +138,10 @@ class TopKAccuracy:
     def reset(self):
         self.correct = self.total = 0
 
+    def merge(self, other: "TopKAccuracy"):
+        self.correct += other.correct
+        self.total += other.total
+
 
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(N,4) x (M,4) xyxy IoU matrix."""
@@ -166,6 +173,10 @@ class MeanAveragePrecision:
             self.targets.append((np.asarray(t["boxes"],
                                             np.float64).reshape(-1, 4),
                                  np.asarray(t["labels"], np.int64)))
+
+    def merge(self, other: "MeanAveragePrecision"):
+        self.preds.extend(other.preds)
+        self.targets.extend(other.targets)
 
     def _ap_for_class(self, cls: int, thr: float):
         scores, matches, n_gt = [], [], 0

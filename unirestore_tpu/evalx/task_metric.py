@@ -31,6 +31,13 @@ class TaskMetric:
             for m in self.metrics[t].values():
                 m.reset()
 
+    def merge_metrics(self, other: "TaskMetric"):
+        """Fold another rank's metric states into this one (torchmetrics
+        dist_reduce_fx='sum' sync, eval_image_restoration.py:263)."""
+        for t in self.eval_types:
+            for name, m in self.metrics[t].items():
+                m.merge(other.metrics[t][name])
+
     @staticmethod
     def print_metrics(metrics: dict[str, float]):
         try:
