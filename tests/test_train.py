@@ -36,6 +36,29 @@ def test_sqrt_lr_scaling():
     np.testing.assert_allclose(lr, 1e-4 * (48 / 64) ** 0.5, rtol=1e-9)
 
 
+def test_optimizer_name_surface():
+    """timm create_optimizer_v2 name surface (reference base.py:62-73):
+    every supported name builds and takes one step; 1D params are exempt
+    from decoupled weight decay."""
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    grads = jax.tree.map(jnp.zeros_like, params)
+    names = ["adamw", "nadamw", "radam", "lamb", "lion", "adafactor",
+             "lars", "sgdw", "adam", "nadam", "adamax", "sgd", "momentum",
+             "rmsprop", "adagrad", "adadelta"]
+    for name in names:
+        tx = OPT.make_optimizer(opt=name, lr=1e-2, weight_decay=0.1)
+        state = tx.init(params)
+        upd, _ = tx.update(grads, state, params)
+        new = optax.apply_updates(params, upd)
+        assert all(np.isfinite(x).all() for x in jax.tree.leaves(new)), name
+        if name in ("adamw", "sgdw", "lamb", "lion", "nadamw"):
+            # zero grad + decoupled decay: 2D decays, 1D untouched
+            assert float(np.abs(new["b"] - 1).max()) < 1e-7, name
+            assert float(np.abs(new["w"] - 1).max()) > 1e-6, name
+    with pytest.raises(ValueError):
+        OPT.make_optimizer(opt="fused_madgrad", lr=1e-2)
+
+
 def test_stage1_step_updates_only_stage1_params():
     cfg, frozen, trainable, sched, stage = _tiny_setup(use_tfa=True)
     stage = ST.StageConfig(train_cfrm=True, train_cnet=True, train_tfa=False)
@@ -55,6 +78,53 @@ def test_stage1_step_updates_only_stage1_params():
     assert changed(trainable["control"], new_tr["control"])
     assert not changed(trainable["tfa"], new_tr["tfa"])  # frozen in stage 1
     assert float(logs["train/loss"]) > 0
+
+
+@pytest.mark.parametrize("stage_kw", [
+    dict(train_cfrm=True, train_cnet=True, train_tfa=False),   # stage 1
+    dict(train_cfrm=False, train_cnet=False, train_tfa=True),  # stage 2
+    dict(train_cfrm=True, train_cnet=True, train_tfa=True,
+         multi_task=True),                                     # joint MTL
+])
+def test_split_step_matches_monolithic(stage_kw):
+    """make_split_train_step must be numerically identical to
+    make_train_step: the reference's detach boundaries
+    (engine_unifie.py:135-225) make the three loss subgraphs disjoint, so
+    splitting the backward changes nothing but module size."""
+    cfg, frozen, trainable, sched, _ = _tiny_setup(use_tfa=True,
+                                                   tasks=("ir", "cls"))
+    stage = ST.StageConfig(**stage_kw)
+    task = "cls" if stage_kw.get("multi_task") else "ir"
+    batch = _batch(jax.random.PRNGKey(1))
+    if task == "cls":
+        batch["gt"] = jnp.zeros((2,), jnp.int32)
+
+    def te_fn(preds, hq, gt, t):
+        if t == "ir":
+            return 10.0 * jnp.mean(jnp.abs(preds - hq))
+        return 0.1 * jnp.mean(preds.astype(jnp.float32) ** 2)
+
+    outs = []
+    for maker in (ST.make_train_step, ST.make_split_train_step):
+        # plain SGD: the update is LINEAR in the grads, so float
+        # reduction-order noise between the two backward partitions stays
+        # within rtol (Adam's 1/sqrt(v) normalizer would amplify
+        # near-zero-grad noise to full step size)
+        tx = OPT.make_optimizer(opt="momentum", lr=1e-3, momentum=0.0,
+                                weight_decay=0.0)
+        opt_state = tx.init(trainable)
+        step = maker(frozen, cfg, sched, stage, tx, task,
+                     te_loss_fn=te_fn, donate=False)
+        outs.append(step(trainable, opt_state, batch, jax.random.PRNGKey(2)))
+    (tr_a, opt_a, logs_a), (tr_b, opt_b, logs_b) = outs
+    assert set(logs_a) == set(logs_b)
+    for k in logs_a:
+        np.testing.assert_allclose(float(logs_a[k]), float(logs_b[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    for xa, xb in zip(jax.tree.leaves(tr_a), jax.tree.leaves(tr_b)):
+        np.testing.assert_allclose(np.asarray(xa, np.float32),
+                                   np.asarray(xb, np.float32),
+                                   rtol=2e-5, atol=2e-6)
 
 
 def test_stage2_trains_tfa_only():

@@ -131,6 +131,7 @@ def build(cfg: dict, tiny: bool = False):
         seed=cfg.get("seed_everything", 42),
         profiler=t.get("profiler"),
         resume=t.get("resume"),
+        split_step=bool(t.get("split_step", False)),
     )
 
     d = cfg.get("data", {}).get("init_args", {})

@@ -248,13 +248,18 @@ class Trainer:
                  monitor_mode: str = "max", num_sanity_val_steps: int = 0,
                  limit_val_batches: int | None = None, seed: int = 42,
                  profiler: str | None = None,
-                 resume: str | bool | None = None):
+                 resume: str | bool | None = None,
+                 split_step: bool = False):
         self.max_steps = max_steps
         # restart-based recovery (Lightning ckpt_path resume): True/"auto"
         # resumes from <root>/checkpoints/last.npz when present; a path
         # resumes from that file. Restores trainable + optimizer state +
         # step counter (the reference delegates this to Lightning).
         self.resume = resume
+        # split the train step into one XLA module per loss subgraph
+        # (steps.make_split_train_step) — needed on platforms whose
+        # compiler cannot hold the monolithic full-scale backward
+        self.split_step = split_step
         self.val_check_interval = val_check_interval
         self.log_every = log_every_n_steps
         self.accum = accumulate_grad_batches
@@ -323,7 +328,9 @@ class Trainer:
 
         def get_step(task):
             if task not in steps_by_task:
-                steps_by_task[task] = ST.make_train_step(
+                maker = (ST.make_split_train_step if self.split_step
+                         else ST.make_train_step)
+                steps_by_task[task] = maker(
                     frozen, engine.cfg, engine.sched, engine.stage, tx, task,
                     te_loss_fn=te_fn, donate=True)
             return steps_by_task[task]

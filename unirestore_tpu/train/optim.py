@@ -53,16 +53,56 @@ def _wd_mask(params):
 def make_optimizer(opt: str = "adamw", lr=1e-4, weight_decay: float = 1e-2,
                    momentum: float = 0.9, accum_iter: int = 1,
                    grad_clip: float | None = None):
-    """Returns an optax.GradientTransformation over the trainable tree."""
-    if opt == "adamw":
-        tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
-                         weight_decay=weight_decay, mask=_wd_mask)
-    elif opt == "adam":
-        tx = optax.adam(lr)
-    elif opt == "sgd":
-        tx = optax.sgd(lr, momentum=momentum)
+    """Returns an optax.GradientTransformation over the trainable tree.
+
+    Name surface mirrors timm.create_optimizer_v2 (reference
+    base.py:62-73): any of the names below is accepted from
+    `optimizer_kwargs.opt`; decoupled weight decay is masked off 1D
+    params, coupled (L2) decay is applied via additive_weight_decay.
+    """
+    wd = dict(weight_decay=weight_decay, mask=_wd_mask)
+    decoupled = {
+        "adamw": lambda: optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, **wd),
+        "nadamw": lambda: optax.nadamw(lr, **wd),
+        "radam": lambda: optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=_wd_mask),
+            optax.radam(lr)),
+        "lamb": lambda: optax.lamb(lr, **wd),
+        "lion": lambda: optax.lion(lr, **wd),
+        "adafactor": lambda: optax.adafactor(
+            lr, weight_decay_rate=weight_decay or None),
+        "lars": lambda: optax.lars(lr, weight_decay=weight_decay,
+                                   weight_decay_mask=_wd_mask,
+                                   momentum=momentum),
+        "sgdw": lambda: optax.chain(
+            optax.trace(decay=momentum, nesterov=True),
+            optax.add_decayed_weights(weight_decay, mask=_wd_mask),
+            optax.scale_by_learning_rate(lr)),
+    }
+    coupled = {  # timm's non-*w forms: L2 decay inside the gradient
+        "adam": lambda: optax.adam(lr),
+        "nadam": lambda: optax.nadam(lr),
+        "adamax": lambda: optax.adamax(lr),
+        "sgd": lambda: optax.sgd(lr, momentum=momentum, nesterov=True),
+        "momentum": lambda: optax.sgd(lr, momentum=momentum),
+        "rmsprop": lambda: optax.rmsprop(lr, momentum=momentum),
+        "adagrad": lambda: optax.adagrad(lr),
+        "adadelta": lambda: optax.adadelta(lr),
+    }
+    opt = opt.lower()
+    if opt in decoupled:
+        tx = decoupled[opt]()
+    elif opt in coupled:
+        base = coupled[opt]()
+        if weight_decay:
+            tx = optax.chain(
+                optax.add_decayed_weights(weight_decay, mask=_wd_mask), base)
+        else:
+            tx = base
     else:
-        raise ValueError(f"Unknown optimizer: {opt}")
+        raise ValueError(
+            f"Unknown optimizer: {opt!r} (supported: "
+            f"{sorted(decoupled) + sorted(coupled)})")
     chain = []
     if grad_clip is not None:
         chain.append(optax.clip_by_global_norm(grad_clip))

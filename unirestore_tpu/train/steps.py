@@ -192,3 +192,174 @@ def make_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
         return trainable, opt_state, logs
 
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# split train step: one XLA module per gradient subgraph
+# ---------------------------------------------------------------------------
+
+
+def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
+                          stage: StageConfig, tx, task: str,
+                          te_loss_fn: Callable | None = None,
+                          donate: bool = True):
+    """Pipelined variant of :func:`make_train_step`: one jit per loss
+    subgraph plus a small optimizer-apply jit.
+
+    The reference's training step is three losses joined only at
+    ``.detach()`` boundaries (engine_unifie.py:135-225): the CFRM feature
+    loss, the controller MSE, and the TFA task loss each backprop into a
+    disjoint adapter family. That makes the monolithic backward separable
+    with NO numerical change — each loss can be differentiated w.r.t. its
+    own subtree in its own (far smaller) XLA module:
+
+      shared:  encode(hq) + DDPM noising               (no grad)
+      fr:      encode(lq, CFRM)  -> grads over cfrm    (+ l0/l0_mids out)
+      cn:      predict_z0        -> grads over controller+sc-tuner
+      te:      decode(+TFA)      -> grads over tfa
+      apply:   assemble grads, mask, optimizer update  (donated)
+
+    Motivation: the monolithic full-scale backward exceeds this
+    platform's remote-compiler capacity (see CLAUDE.md); the split
+    modules each stay near forward-pipeline size and compile. Cost: one
+    extra hq-encode dispatch vs the fused graph, plus per-call dispatch
+    overhead x5 — amortize with big batches.
+
+    step(trainable, opt_state, batch, rng) -> (trainable, opt_state, logs)
+    """
+    from ..nn.attention import force_xla_attention
+
+    FR_KEYS = ("cfrm",)
+    CN_KEYS = ("controller", "control")
+    TE_KEYS = ("tfa",)
+
+    need_fr_loss = stage.train_cfrm and cfg.use_cfrm
+    need_cn_loss = stage.train_cnet and cfg.use_cnet
+    need_te_loss = cfg.use_tfa and stage.train_tfa
+
+    def _sub_value_and_grad(fn, trainable, keys, *args):
+        """value_and_grad w.r.t. only trainable[keys] (others constant)."""
+        sub = {k: trainable[k] for k in keys if k in trainable}
+        rest = {k: v for k, v in trainable.items() if k not in sub}
+
+        def f(sub_p):
+            return fn({**rest, **sub_p}, *args)
+
+        (loss, aux), g = jax.value_and_grad(f, has_aux=True)(sub)
+        return loss, aux, g
+
+    @jax.jit
+    def shared_fwd(trainable, hq, rng):
+        k_hq, k_lq, k_diff = jax.random.split(rng, 3)
+        h0, h0_mids = UR.encode(frozen, trainable, cfg, hq, rng=k_hq,
+                                enable_fr=False)
+        if cfg.use_cnet:
+            zt, _, ts_ = UR.diffuse(sched, h0, k_diff)
+        else:
+            zt = h0
+            ts_ = jnp.zeros((h0.shape[0],), jnp.int32)
+        return h0, h0_mids, zt, ts_, k_lq
+
+    def _fr_fwd(trainable, lq, k_lq, h0, h0_mids):
+        l0, l0_mids = UR.encode(frozen, trainable, cfg, lq, rng=k_lq,
+                                enable_fr=cfg.use_cfrm)
+        logs = {}
+        loss = jnp.float32(0.0)
+        if need_fr_loss:
+            fr_terms = [_mse(lm, hm) for lm, hm in zip(l0_mids, h0_mids)]
+            loss = sum(w * t for w, t in zip(stage.w_fr, fr_terms))
+            logs.update({f"train/loss_layer{i + 1}": t
+                         for i, t in enumerate(fr_terms)})
+            logs["train/loss_frenc"] = loss
+            logs["train/loss_enc"] = _mse(l0, h0)
+        return loss, (logs, _sg(l0), [_sg(m) for m in l0_mids])
+
+    if need_fr_loss:
+        @jax.jit
+        def fr_part(trainable, lq, k_lq, h0, h0_mids):
+            return _sub_value_and_grad(_fr_fwd, trainable, FR_KEYS,
+                                       lq, k_lq, h0, h0_mids)
+    else:
+        @jax.jit
+        def fr_part(trainable, lq, k_lq, h0, h0_mids):
+            loss, aux = _fr_fwd(trainable, lq, k_lq, h0, h0_mids)
+            return loss, aux, {}
+
+    def _cn_fwd(trainable, zt, l0, ts_, h0):
+        pred_z0 = UR.predict_z0(frozen, trainable, cfg, sched, zt, l0, ts_)
+        return _mse(pred_z0, h0), _sg(pred_z0)
+
+    if need_cn_loss:
+        @jax.jit
+        def cn_part(trainable, zt, l0, ts_, h0):
+            return _sub_value_and_grad(_cn_fwd, trainable, CN_KEYS,
+                                       zt, l0, ts_, h0)
+    else:
+        @jax.jit
+        def cn_part(trainable, zt, l0, ts_, h0):
+            loss, pred_z0 = _cn_fwd(trainable, zt, l0, ts_, h0)
+            return loss, pred_z0, {}
+
+    def _te_fwd(trainable, pred_z0, te_mids, hq, gt):
+        preds = UR.decode(frozen, trainable, cfg, pred_z0, te_mids, task)
+        if te_loss_fn is not None:
+            loss_te = te_loss_fn(preds, hq, gt, task)
+        else:
+            loss_te = stage.w_te.get(task, 1.0) * jnp.mean(
+                jnp.abs(preds.astype(jnp.float32) - hq.astype(jnp.float32)))
+        if stage.multi_task and task != "ir":
+            preds_ir = UR.decode(frozen, trainable, cfg, pred_z0, te_mids,
+                                 "ir")
+            loss_te = loss_te + jnp.mean(
+                jnp.abs(preds_ir.astype(jnp.float32)
+                        - hq.astype(jnp.float32)))
+        return loss_te, ()
+
+    @jax.jit
+    def te_part(trainable, pred_z0, te_mids, hq, gt):
+        loss, _, g = _sub_value_and_grad(_te_fwd, trainable, TE_KEYS,
+                                         pred_z0, te_mids, hq, gt)
+        return loss, g
+
+    def apply_part_fn(trainable, opt_state, grads_by_key):
+        grads = jax.tree.map(jnp.zeros_like, trainable)
+        grads = {**grads, **{k: v for g in grads_by_key for k, v in
+                             g.items()}}
+        mask = trainable_filter(stage, trainable)
+        grads = apply_grad_mask(grads, mask)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        updates = apply_grad_mask(updates, mask)
+        trainable = jax.tree.map(lambda p, u: p + u, trainable, updates)
+        return trainable, opt_state
+
+    apply_part = jax.jit(apply_part_fn,
+                         donate_argnums=(0, 1) if donate else ())
+
+    def step(trainable, opt_state, batch, rng):
+        lq, hq = batch["lq"], batch["hq"]
+        logs = {}
+        with force_xla_attention():  # trace-time: see attention.py
+            h0, h0_mids, zt, ts_, k_lq = shared_fwd(trainable, hq, rng)
+            loss_fr, (fr_logs, l0, l0_mids), g_fr = fr_part(
+                trainable, lq, k_lq, h0, h0_mids)
+            logs.update(fr_logs)
+            loss = loss_fr if need_fr_loss else jnp.float32(0.0)
+            if cfg.use_cnet:
+                loss_cn, pred_z0, g_cn = cn_part(trainable, zt, l0, ts_, h0)
+                if need_cn_loss:
+                    logs["train/loss_cnet"] = loss_cn
+                    loss = loss + loss_cn
+            else:
+                pred_z0, g_cn = l0, {}
+            g_te = {}
+            if need_te_loss:
+                loss_te, g_te = te_part(trainable, pred_z0, l0_mids, hq,
+                                        batch.get("gt"))
+                logs[f"train/loss_{task}"] = loss_te
+                loss = loss + loss_te
+            trainable, opt_state = apply_part(
+                trainable, opt_state, [g_fr, g_cn, g_te])
+        logs["train/loss"] = loss
+        return trainable, opt_state, logs
+
+    return step
