@@ -12,7 +12,9 @@ Measures stage-1 (CFRM + Controller, train_stage1.yaml:9-25 protocol:
 
 Env knobs: TRAIN_BATCH (default 8), TRAIN_ITERS (default 8),
 TRAIN_TINY=1 (64px tiny config on CPU — plumbing check), TRAIN_STAGE
-(1|2, default 1).
+(1|2, default 1), TRAIN_SPLIT=0 (monolithic single-module step — viable
+since frozen weights became jit arguments instead of baked constants),
+TRAIN_RES (override resolution).
 """
 
 import json
@@ -30,6 +32,7 @@ BATCH = int(os.environ.get("TRAIN_BATCH", "8"))
 ITERS = int(os.environ.get("TRAIN_ITERS", "8"))
 TINY = os.environ.get("TRAIN_TINY") == "1"
 STAGE = int(os.environ.get("TRAIN_STAGE", "1"))
+SPLIT = os.environ.get("TRAIN_SPLIT", "1") == "1"
 
 
 def main():
@@ -40,7 +43,7 @@ def main():
     from unirestore_tpu.train import optim as OPT
     from unirestore_tpu.train import steps as ST
 
-    res = 64 if TINY else 512
+    res = int(os.environ.get("TRAIN_RES", "64" if TINY else "512"))
     if TINY:
         cfg = UR.tiny_config(use_tfa=STAGE == 2, tasks=("ir",))
     else:
@@ -58,8 +61,8 @@ def main():
                                train_tfa=True)
     tx = OPT.make_optimizer(opt="adamw", lr=1e-4, weight_decay=1e-2)
     opt_state = tx.init(trainable)
-    step = ST.make_split_train_step(frozen, cfg, sched, stage, tx, "ir",
-                                    donate=True)
+    maker = ST.make_split_train_step if SPLIT else ST.make_train_step
+    step = maker(frozen, cfg, sched, stage, tx, "ir", donate=True)
 
     k = jax.random.PRNGKey(1)
     batch = {"lq": jax.random.uniform(k, (BATCH, res, res, 3),
@@ -83,7 +86,8 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(loss), loss
     print(json.dumps({
-        "metric": f"stage{STAGE} train img/s/chip ({res}px, split step)",
+        "metric": (f"stage{STAGE} train img/s/chip ({res}px, "
+                   f"{'split' if SPLIT else 'monolithic'} step)"),
         "value": round(BATCH / dt, 3), "unit": "img/s",
         "step_ms": round(dt * 1000, 1), "batch": BATCH,
         "loss_first": round(loss0, 4), "loss_last": round(loss, 4),

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--strides", default="2,3,4,5")
+    ap.add_argument("--warmups", default="0",
+                    help="comma list of cache_warmup values (first N steps "
+                         "exact) to sweep per stride")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (CPU smoke; structural numbers only)")
@@ -67,18 +70,21 @@ def main():
     rows = []
     for mode in ("encoder", "deep"):
         for stride in (int(s) for s in args.strides.split(",")):
-            cfg = dataclasses.replace(base, cache_mode=mode,
-                                      cache_stride=stride)
-            out = np.clip(run(cfg), 0, 1)
-            mse = float(np.mean((out - exact) ** 2))
-            psnr = float("inf") if mse == 0 else float(
-                10 * np.log10(1.0 / mse))
-            rel = float(np.linalg.norm(out - exact)
-                        / max(np.linalg.norm(exact), 1e-9))
-            rows.append({"mode": mode, "stride": stride,
-                         "psnr_vs_exact_db": round(psnr, 2),
-                         "rel_l2": round(rel, 5)})
-            print(json.dumps(rows[-1]))
+            for warmup in (int(w) for w in args.warmups.split(",")):
+                cfg = dataclasses.replace(base, cache_mode=mode,
+                                          cache_stride=stride,
+                                          cache_warmup=warmup)
+                out = np.clip(run(cfg), 0, 1)
+                mse = float(np.mean((out - exact) ** 2))
+                psnr = float("inf") if mse == 0 else float(
+                    10 * np.log10(1.0 / mse))
+                rel = float(np.linalg.norm(out - exact)
+                            / max(np.linalg.norm(exact), 1e-9))
+                rows.append({"mode": mode, "stride": stride,
+                             "warmup": warmup,
+                             "psnr_vs_exact_db": round(psnr, 2),
+                             "rel_l2": round(rel, 5)})
+                print(json.dumps(rows[-1]), flush=True)
 
 
 if __name__ == "__main__":

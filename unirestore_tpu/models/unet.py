@@ -44,6 +44,13 @@ class UNetConfig:
     eps: float = 1e-5
     control_type: str = "scedit"  # "scedit" | "spade" | "none"
     control_channels: int = 256
+    # rematerialize each (resnet, attention) unit in the backward pass:
+    # without it the XLA-attention backward keeps every S^2 attention map
+    # live at once (batch 8 x 5 heads x 4096^2 bf16 = 1.3 GB PER map at
+    # 512px), which exhausts one chip's HBM; with it only one unit's
+    # internals exist at a time. Enabled by the train steps; a pure
+    # forward under jit is unaffected (checkpoint is the identity there)
+    remat: bool = False
 
     @property
     def time_embed_dim(self):
@@ -173,6 +180,24 @@ def control_adapters_init(key, cfg: UNetConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
+def _unit(cfg, scale_idx):
+    """One rematerializable (ResnetBlock2D, Transformer2D) unit.
+
+    ``attn_p`` may be None (plain Down/UpBlock2D). With ``cfg.remat`` the
+    unit is wrapped in ``jax.checkpoint`` — see UNetConfig.remat."""
+    def unit(res_p, attn_p, h, temb, encoder_hidden_states, control,
+             spade_p):
+        h = _resnet_maybe_spade(res_p, h, temb, cfg, spade_p, control,
+                                scale_idx)
+        if attn_p is not None:
+            h = T.transformer_2d(attn_p, h, encoder_hidden_states,
+                                 heads=cfg.heads[scale_idx],
+                                 groups=cfg.norm_num_groups)
+        return h
+
+    return jax.checkpoint(unit) if cfg.remat else unit
+
+
 def _resnet_maybe_spade(p_res, x, temb, cfg, spade_p, control, scale_idx):
     """ResnetBlock2D, optionally with SPADE after conv2 (base_model.py:56-92)."""
     if spade_p is None:
@@ -221,26 +246,29 @@ def unet_encode(p, cfg: UNetConfig, sample, emb, encoder_hidden_states,
     for i, blk in enumerate(p["down_blocks"]):
         for j, res in enumerate(blk["resnets"]):
             sp = spades["down"][i][j] if use_spade else None
-            h = _resnet_maybe_spade(res, h, emb, cfg, sp, control, i)
-            if blk["attentions"]:
-                h = T.transformer_2d(blk["attentions"][j], h,
-                                     encoder_hidden_states,
-                                     heads=cfg.heads[i],
-                                     groups=cfg.norm_num_groups)
+            attn = blk["attentions"][j] if blk["attentions"] else None
+            h = _unit(cfg, i)(res, attn, h, emb, encoder_hidden_states,
+                              control, sp)
             skips.append(h)
         if "downsample" in blk:
             h = R.downsample(blk["downsample"], h)
             skips.append(h)
 
     n_levels = len(cfg.block_out_channels)
-    sp = spades["mid"][0] if use_spade else None
-    h = _resnet_maybe_spade(p["mid"]["resnet1"], h, emb, cfg, sp, control,
-                            n_levels - 1)
-    h = T.transformer_2d(p["mid"]["attn"], h, encoder_hidden_states,
-                         heads=cfg.heads[-1], groups=cfg.norm_num_groups)
-    sp = spades["mid"][1] if use_spade else None
-    h = _resnet_maybe_spade(p["mid"]["resnet2"], h, emb, cfg, sp, control,
-                            n_levels - 1)
+
+    def mid(p_mid, h, emb, encoder_hidden_states, control, sp1, sp2):
+        h = _resnet_maybe_spade(p_mid["resnet1"], h, emb, cfg, sp1, control,
+                                n_levels - 1)
+        h = T.transformer_2d(p_mid["attn"], h, encoder_hidden_states,
+                             heads=cfg.heads[-1], groups=cfg.norm_num_groups)
+        return _resnet_maybe_spade(p_mid["resnet2"], h, emb, cfg, sp2,
+                                   control, n_levels - 1)
+
+    if cfg.remat:
+        mid = jax.checkpoint(mid)
+    h = mid(p["mid"], h, emb, encoder_hidden_states, control,
+            spades["mid"][0] if use_spade else None,
+            spades["mid"][1] if use_spade else None)
 
     # SC-Tuner injection on the captured skips (base_model.py:233-238)
     if use_scedit:
@@ -275,12 +303,9 @@ def unet_decode(p, cfg: UNetConfig, h, skips, emb, encoder_hidden_states,
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
             sp = spades["up"][i][j] if use_spade else None
-            h = _resnet_maybe_spade(res, h, emb, cfg, sp, control, blk_idx)
-            if blk["attentions"]:
-                h = T.transformer_2d(blk["attentions"][j], h,
-                                     encoder_hidden_states,
-                                     heads=cfg.heads[blk_idx],
-                                     groups=cfg.norm_num_groups)
+            attn = blk["attentions"][j] if blk["attentions"] else None
+            h = _unit(cfg, blk_idx)(res, attn, h, emb,
+                                    encoder_hidden_states, control, sp)
         if "upsample" in blk:
             h = R.upsample(blk["upsample"], h)
 

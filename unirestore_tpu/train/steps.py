@@ -160,6 +160,17 @@ def compute_losses(frozen, trainable, cfg: UR.UniRestoreConfig, sched,
     return loss, logs
 
 
+def _with_train_remat(cfg: UR.UniRestoreConfig):
+    """Turn on per-unit UNet rematerialization for training (numerically
+    identical; bounds backward activation memory — see UNetConfig.remat).
+    Opt out with UNIRESTORE_NO_REMAT=1 (A/B measurement)."""
+    import os
+    if os.environ.get("UNIRESTORE_NO_REMAT") == "1" or cfg.unet.remat:
+        return cfg
+    return dataclasses.replace(
+        cfg, unet=dataclasses.replace(cfg.unet, remat=True))
+
+
 def make_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
                     stage: StageConfig, tx, task: str,
                     te_loss_fn: Callable | None = None,
@@ -171,17 +182,22 @@ def make_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
     Under a data mesh, batch arrays arrive sharded on the leading axis and
     params replicated; XLA inserts the gradient all-reduce automatically.
     """
-    mask = None  # built lazily from the first trainable tree
+    cfg = _with_train_remat(cfg)
 
-    def loss_fn(trainable, batch, rng):
-        return compute_losses(frozen, trainable, cfg, sched, stage, batch,
+    def loss_fn(frozen_p, trainable, batch, rng):
+        return compute_losses(frozen_p, trainable, cfg, sched, stage, batch,
                               rng, task, te_loss_fn)
 
-    def step(trainable, opt_state, batch, rng):
+    # frozen is a jit ARGUMENT, not a closure capture: closed-over device
+    # arrays are baked into the XLA module as constants, which multiplies
+    # module size by the ~1.9 GB of sd-turbo weights and overwhelms
+    # compilers (and duplicates the weights in HBM)
+    def step(frozen_p, trainable, opt_state, batch, rng):
         from ..nn.attention import force_xla_attention
         with force_xla_attention():  # trace-time: see attention.py
-            (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                trainable, batch, rng)
+            (_, logs), grads = jax.value_and_grad(
+                loss_fn, argnums=1, has_aux=True)(
+                frozen_p, trainable, batch, rng)
         mask = trainable_filter(stage, trainable)
         grads = apply_grad_mask(grads, mask)
         updates, opt_state = tx.update(grads, opt_state, trainable)
@@ -191,7 +207,12 @@ def make_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
         trainable = jax.tree.map(lambda p, u: p + u, trainable, updates)
         return trainable, opt_state, logs
 
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(1, 2) if donate else ())
+
+    def run(trainable, opt_state, batch, rng):
+        return jitted(frozen, trainable, opt_state, batch, rng)
+
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +250,8 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
     """
     from ..nn.attention import force_xla_attention
 
+    cfg = _with_train_remat(cfg)
+
     FR_KEYS = ("cfrm",)
     CN_KEYS = ("controller", "control")
     TE_KEYS = ("tfa",)
@@ -237,21 +260,23 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
     need_cn_loss = stage.train_cnet and cfg.use_cnet
     need_te_loss = cfg.use_tfa and stage.train_tfa
 
-    def _sub_value_and_grad(fn, trainable, keys, *args):
+    def _sub_value_and_grad(fn, frozen_p, trainable, keys, *args):
         """value_and_grad w.r.t. only trainable[keys] (others constant)."""
         sub = {k: trainable[k] for k in keys if k in trainable}
         rest = {k: v for k, v in trainable.items() if k not in sub}
 
         def f(sub_p):
-            return fn({**rest, **sub_p}, *args)
+            return fn(frozen_p, {**rest, **sub_p}, *args)
 
         (loss, aux), g = jax.value_and_grad(f, has_aux=True)(sub)
         return loss, aux, g
 
+    # like make_train_step, every sub-jit takes frozen as a traced ARGUMENT
+    # so the sd-turbo weights are not baked into each XLA module as constants
     @jax.jit
-    def shared_fwd(trainable, hq, rng):
+    def shared_fwd(frozen_p, trainable, hq, rng):
         k_hq, k_lq, k_diff = jax.random.split(rng, 3)
-        h0, h0_mids = UR.encode(frozen, trainable, cfg, hq, rng=k_hq,
+        h0, h0_mids = UR.encode(frozen_p, trainable, cfg, hq, rng=k_hq,
                                 enable_fr=False)
         if cfg.use_cnet:
             zt, _, ts_ = UR.diffuse(sched, h0, k_diff)
@@ -260,8 +285,8 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
             ts_ = jnp.zeros((h0.shape[0],), jnp.int32)
         return h0, h0_mids, zt, ts_, k_lq
 
-    def _fr_fwd(trainable, lq, k_lq, h0, h0_mids):
-        l0, l0_mids = UR.encode(frozen, trainable, cfg, lq, rng=k_lq,
+    def _fr_fwd(frozen_p, trainable, lq, k_lq, h0, h0_mids):
+        l0, l0_mids = UR.encode(frozen_p, trainable, cfg, lq, rng=k_lq,
                                 enable_fr=cfg.use_cfrm)
         logs = {}
         loss = jnp.float32(0.0)
@@ -276,39 +301,39 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
 
     if need_fr_loss:
         @jax.jit
-        def fr_part(trainable, lq, k_lq, h0, h0_mids):
-            return _sub_value_and_grad(_fr_fwd, trainable, FR_KEYS,
+        def fr_part(frozen_p, trainable, lq, k_lq, h0, h0_mids):
+            return _sub_value_and_grad(_fr_fwd, frozen_p, trainable, FR_KEYS,
                                        lq, k_lq, h0, h0_mids)
     else:
         @jax.jit
-        def fr_part(trainable, lq, k_lq, h0, h0_mids):
-            loss, aux = _fr_fwd(trainable, lq, k_lq, h0, h0_mids)
+        def fr_part(frozen_p, trainable, lq, k_lq, h0, h0_mids):
+            loss, aux = _fr_fwd(frozen_p, trainable, lq, k_lq, h0, h0_mids)
             return loss, aux, {}
 
-    def _cn_fwd(trainable, zt, l0, ts_, h0):
-        pred_z0 = UR.predict_z0(frozen, trainable, cfg, sched, zt, l0, ts_)
+    def _cn_fwd(frozen_p, trainable, zt, l0, ts_, h0):
+        pred_z0 = UR.predict_z0(frozen_p, trainable, cfg, sched, zt, l0, ts_)
         return _mse(pred_z0, h0), _sg(pred_z0)
 
     if need_cn_loss:
         @jax.jit
-        def cn_part(trainable, zt, l0, ts_, h0):
-            return _sub_value_and_grad(_cn_fwd, trainable, CN_KEYS,
+        def cn_part(frozen_p, trainable, zt, l0, ts_, h0):
+            return _sub_value_and_grad(_cn_fwd, frozen_p, trainable, CN_KEYS,
                                        zt, l0, ts_, h0)
     else:
         @jax.jit
-        def cn_part(trainable, zt, l0, ts_, h0):
-            loss, pred_z0 = _cn_fwd(trainable, zt, l0, ts_, h0)
+        def cn_part(frozen_p, trainable, zt, l0, ts_, h0):
+            loss, pred_z0 = _cn_fwd(frozen_p, trainable, zt, l0, ts_, h0)
             return loss, pred_z0, {}
 
-    def _te_fwd(trainable, pred_z0, te_mids, hq, gt):
-        preds = UR.decode(frozen, trainable, cfg, pred_z0, te_mids, task)
+    def _te_fwd(frozen_p, trainable, pred_z0, te_mids, hq, gt):
+        preds = UR.decode(frozen_p, trainable, cfg, pred_z0, te_mids, task)
         if te_loss_fn is not None:
             loss_te = te_loss_fn(preds, hq, gt, task)
         else:
             loss_te = stage.w_te.get(task, 1.0) * jnp.mean(
                 jnp.abs(preds.astype(jnp.float32) - hq.astype(jnp.float32)))
         if stage.multi_task and task != "ir":
-            preds_ir = UR.decode(frozen, trainable, cfg, pred_z0, te_mids,
+            preds_ir = UR.decode(frozen_p, trainable, cfg, pred_z0, te_mids,
                                  "ir")
             loss_te = loss_te + jnp.mean(
                 jnp.abs(preds_ir.astype(jnp.float32)
@@ -316,9 +341,9 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
         return loss_te, ()
 
     @jax.jit
-    def te_part(trainable, pred_z0, te_mids, hq, gt):
-        loss, _, g = _sub_value_and_grad(_te_fwd, trainable, TE_KEYS,
-                                         pred_z0, te_mids, hq, gt)
+    def te_part(frozen_p, trainable, pred_z0, te_mids, hq, gt):
+        loss, _, g = _sub_value_and_grad(_te_fwd, frozen_p, trainable,
+                                         TE_KEYS, pred_z0, te_mids, hq, gt)
         return loss, g
 
     def apply_part_fn(trainable, opt_state, grads_by_key):
@@ -339,13 +364,15 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
         lq, hq = batch["lq"], batch["hq"]
         logs = {}
         with force_xla_attention():  # trace-time: see attention.py
-            h0, h0_mids, zt, ts_, k_lq = shared_fwd(trainable, hq, rng)
+            h0, h0_mids, zt, ts_, k_lq = shared_fwd(frozen, trainable, hq,
+                                                    rng)
             loss_fr, (fr_logs, l0, l0_mids), g_fr = fr_part(
-                trainable, lq, k_lq, h0, h0_mids)
+                frozen, trainable, lq, k_lq, h0, h0_mids)
             logs.update(fr_logs)
             loss = loss_fr if need_fr_loss else jnp.float32(0.0)
             if cfg.use_cnet:
-                loss_cn, pred_z0, g_cn = cn_part(trainable, zt, l0, ts_, h0)
+                loss_cn, pred_z0, g_cn = cn_part(frozen, trainable, zt, l0,
+                                                 ts_, h0)
                 if need_cn_loss:
                     logs["train/loss_cnet"] = loss_cn
                     loss = loss + loss_cn
@@ -353,8 +380,8 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
                 pred_z0, g_cn = l0, {}
             g_te = {}
             if need_te_loss:
-                loss_te, g_te = te_part(trainable, pred_z0, l0_mids, hq,
-                                        batch.get("gt"))
+                loss_te, g_te = te_part(frozen, trainable, pred_z0, l0_mids,
+                                        hq, batch.get("gt"))
                 logs[f"train/loss_{task}"] = loss_te
                 loss = loss + loss_te
             trainable, opt_state = apply_part(
