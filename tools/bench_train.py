@@ -10,11 +10,20 @@ stays near forward-pipeline size and compiles through the tunnel.
 Measures stage-1 (CFRM + Controller, train_stage1.yaml:9-25 protocol:
 512px) steps/sec and train img/s on the real chip.
 
+The remote compile server leaks memory across large compiles within one
+client session and dies with ResourceExhausted on the 2nd-3rd big module
+(a fresh process compiles the same module fine). So each split-step
+sub-module is first compiled in its OWN subprocess into the persistent
+compilation cache (JAX_COMPILATION_CACHE_DIR, default
+/tmp/unirestore_jax_cache), then the measuring run loads every module
+from the cache and never triggers a fresh large remote compile.
+
 Env knobs: TRAIN_BATCH (default 8), TRAIN_ITERS (default 8),
 TRAIN_TINY=1 (64px tiny config on CPU — plumbing check), TRAIN_STAGE
 (1|2, default 1), TRAIN_SPLIT=0 (monolithic single-module step — viable
 since frozen weights became jit arguments instead of baked constants),
-TRAIN_RES (override resolution).
+TRAIN_RES (override resolution), TRAIN_PRECOMPILE=0 (skip the
+per-module subprocess compile pass).
 """
 
 import json
@@ -33,11 +42,43 @@ ITERS = int(os.environ.get("TRAIN_ITERS", "8"))
 TINY = os.environ.get("TRAIN_TINY") == "1"
 STAGE = int(os.environ.get("TRAIN_STAGE", "1"))
 SPLIT = os.environ.get("TRAIN_SPLIT", "1") == "1"
+PRECOMPILE = os.environ.get("TRAIN_PRECOMPILE", "1") == "1"
+CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/unirestore_jax_cache")
+
+
+def _precompile_phases():
+    """Compile each split-step sub-module in a fresh subprocess (fresh
+    remote-compiler session) into the persistent cache; earlier phases
+    re-load from the cache, so each child performs exactly one large
+    compile."""
+    import subprocess
+
+    phases = ["shared", "fr", "cn"] + (["te"] if STAGE == 2 else [])
+    for ph in phases:
+        env = dict(os.environ, UNIRESTORE_TRAIN_STOP_AFTER=ph,
+                   TRAIN_PRECOMPILE="0", TRAIN_ITERS="0",
+                   JAX_COMPILATION_CACHE_DIR=CACHE_DIR)
+        print(f"precompile [{ph}] ...", flush=True)
+        t0 = time.perf_counter()
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True)
+        dt = time.perf_counter() - t0
+        status = "ok" if proc.returncode == 0 else f"rc={proc.returncode}"
+        print(f"precompile [{ph}] {status} in {dt:.0f}s", flush=True)
+        if proc.returncode != 0:
+            print(proc.stdout[-1500:] + proc.stderr[-1500:], flush=True)
+            raise SystemExit(f"precompile phase {ph} failed")
 
 
 def main():
     if TINY:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    if PRECOMPILE and SPLIT and not TINY \
+            and not os.environ.get("UNIRESTORE_TRAIN_STOP_AFTER"):
+        _precompile_phases()
 
     from unirestore_tpu.models import unirestore as UR
     from unirestore_tpu.train import optim as OPT
@@ -78,6 +119,8 @@ def main():
     print(f"first step (compile): {compile_s:.1f}s  loss={loss0:.4f}",
           flush=True)
 
+    if ITERS == 0:  # precompile child: one (possibly truncated) step only
+        return
     t0 = time.perf_counter()
     for i in range(ITERS):
         trainable, opt_state, logs = step(trainable, opt_state, batch,

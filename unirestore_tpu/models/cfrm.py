@@ -101,10 +101,15 @@ def cfrm_stage_init(key, c: int, num_naf: int, dtype=jnp.float32):
     }
 
 
-def cfrm_stage(p, x):
+def cfrm_stage(p, x, remat: bool = False):
+    """With ``remat`` each NAF/AdaNAF block is rematerialized in the
+    backward pass (the deep /8 stage otherwise keeps ~6 intermediates per
+    block live; see VAEConfig.remat)."""
+    nb = jax.checkpoint(naf_block) if remat else naf_block
+    ada = jax.checkpoint(ada_naf_v2) if remat else ada_naf_v2
     for blk in p["naf"]:
-        x = naf_block(blk, x)
-    return ada_naf_v2(p["ada"], x)
+        x = nb(blk, x)
+    return ada(p["ada"], x)
 
 
 def cfrm_init(key, channels=(128, 256, 512), depths=(1, 1, 9), dtype=jnp.float32):

@@ -42,6 +42,11 @@ class VAEConfig:
     eps: float = 1e-6
     # CFRM stage depths (NAFBlocks before the AdaNAFV2) per skip scale
     cfrm_depths: tuple = (1, 1, 9)
+    # rematerialize per-block in the backward pass (same rationale as
+    # UNetConfig.remat: CFRM/TFA training at 512px otherwise keeps every
+    # NAF-block intermediate live — ~270 MB each at the /2 scale).
+    # Enabled by the train steps; forward-only jits are unaffected
+    remat: bool = False
 
     @property
     def skip_channels(self):
@@ -156,6 +161,15 @@ def tfa_adapter_init(key, cfg: VAEConfig, tasks, prompt_len: int = 1,
 # ---------------------------------------------------------------------------
 
 
+def _res_fn(cfg: VAEConfig):
+    """Per-block rematerializable resnet apply (see VAEConfig.remat)."""
+    def f(p_res, h):
+        return R.resnet_block(p_res, h, groups=cfg.norm_num_groups,
+                              eps=cfg.eps)
+
+    return jax.checkpoint(f) if cfg.remat else f
+
+
 def _mid_block(p, x, cfg: VAEConfig):
     x = R.resnet_block(p["resnet1"], x, groups=cfg.norm_num_groups, eps=cfg.eps)
     x = A.spatial_self_attention(p["attn"], x, heads=1,
@@ -177,20 +191,21 @@ def encode_moments(p, x, cfg: VAEConfig, fr_params=None, enable_fr: bool = False
     h = x * 2.0 - 1.0
     h = L.conv2d(enc["conv_in"], h, padding=1)
 
+    res_fn = _res_fn(cfg)
     skips = []
     blocks = enc["down_blocks"]
     for i, blk in enumerate(blocks[:-1]):
         for res in blk["resnets"]:
-            h = R.resnet_block(res, h, groups=cfg.norm_num_groups, eps=cfg.eps)
+            h = res_fn(res, h)
         if "downsample" in blk:
             h = R.downsample(blk["downsample"], h, pad_mode="asym")
         if enable_fr:
-            h = CFRM.cfrm_stage(fr_params[i], h)
+            h = CFRM.cfrm_stage(fr_params[i], h, remat=cfg.remat)
         skips.append(h)
 
     h = jax.lax.stop_gradient(h)
     for res in blocks[-1]["resnets"]:
-        h = R.resnet_block(res, h, groups=cfg.norm_num_groups, eps=cfg.eps)
+        h = res_fn(res, h)
 
     h = _mid_block(enc["mid"], h, cfg)
     h = L.silu(L.group_norm(enc["conv_norm_out"], h, groups=cfg.norm_num_groups,
@@ -238,14 +253,18 @@ def decode(p, z, cfg: VAEConfig, skips=None, tfa_params=None, task=None,
         cond = jnp.broadcast_to(prompt[None], (h.shape[0],) + prompt.shape)
         cond = cond.astype(h.dtype)
 
+    res_fn = _res_fn(cfg)
+    tfa_fn = TFA.task_feature_adapter
+    if cfg.remat:
+        tfa_fn = jax.checkpoint(tfa_fn, static_argnums=(4,))
     blocks = dec["up_blocks"]
     for i, blk in enumerate(blocks):
         if use_tfa and i < len(blocks) - 1:
             skip = skips[-i - 1]
-            h, cond = TFA.task_feature_adapter(
+            h, cond = tfa_fn(
                 tfa_params["task_editors"][i], h, skip, cond, prompt_len)
         for res in blk["resnets"]:
-            h = R.resnet_block(res, h, groups=cfg.norm_num_groups, eps=cfg.eps)
+            h = res_fn(res, h)
         if "upsample" in blk:
             h = R.upsample(blk["upsample"], h)
 

@@ -105,6 +105,40 @@ def _use_streaming(t: int, s: int, dim_head: int) -> bool:
     return PA.stream_supported(t, s, dim_head)
 
 
+def _train_attn_chunk(t: int, s: int) -> int:
+    """Query-chunk size for the TRAINING attention path (0 = off).
+
+    The training graphs trace under ``force_xla_attention``; there the
+    XLA attention backward stores the full (T, S) probability matrix per
+    head — at 512px (T=4096, 5 heads, batch 8) that is ~1.3 GB per
+    self-attention layer and exhausts HBM even with per-unit remat. The
+    fix is Rabe-Staats query chunking: a ``lax.map`` over query blocks
+    with ``jax.checkpoint`` per block, so forward AND backward only ever
+    hold one (chunk, S) slab. Cross-attention (S=77) and short sequences
+    are unaffected. Knob: UNIRESTORE_TRAIN_ATTN_CHUNK (0 disables)."""
+    import os
+    if not _FORCE_XLA:
+        return 0
+    chunk = int(os.environ.get("UNIRESTORE_TRAIN_ATTN_CHUNK", "512"))
+    if chunk <= 0 or t != s or t <= 2 * chunk or t % chunk != 0:
+        return 0
+    return chunk
+
+
+def _chunked_attention(q, k, v, chunk: int):
+    """dot_product_attention over query chunks ((B, T, H, D) layout),
+    numerically identical to the unchunked op (softmax is per-query-row)."""
+    b, t, h, d = q.shape
+    qc = q.reshape(b, t // chunk, chunk, h, d).transpose(1, 0, 2, 3, 4)
+
+    @jax.checkpoint
+    def one(qi):
+        return jax.nn.dot_product_attention(qi, k, v)
+
+    out = jax.lax.map(one, qc)  # (T/chunk, B, chunk, H, D)
+    return out.transpose(1, 0, 2, 3, 4).reshape(b, t, h, d)
+
+
 def _proj_head_major(pp, src, heads: int, dim_head: int, gain: float = 1.0):
     """Project (B, T, C) -> (B*heads, T, dim_head) in one einsum — the
     head transpose rides inside the matmul output write, so no relayout
@@ -158,7 +192,10 @@ def mha(p, x, context=None, heads: int = 8):
     q = L.linear(p["to_q"], x).reshape(b, t, heads, dim_head)
     k = L.linear(p["to_k"], ctx).reshape(b, s, heads, dim_head)
     v = L.linear(p["to_v"], ctx).reshape(b, s, heads, dim_head)
-    if _use_flash(t, s, dim_head):
+    chunk = _train_attn_chunk(t, s)
+    if chunk:
+        o = _chunked_attention(q, k, v, chunk)
+    elif _use_flash(t, s, dim_head):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention)
         o = flash_attention(

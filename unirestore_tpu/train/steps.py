@@ -168,7 +168,8 @@ def _with_train_remat(cfg: UR.UniRestoreConfig):
     if os.environ.get("UNIRESTORE_NO_REMAT") == "1" or cfg.unet.remat:
         return cfg
     return dataclasses.replace(
-        cfg, unet=dataclasses.replace(cfg.unet, remat=True))
+        cfg, unet=dataclasses.replace(cfg.unet, remat=True),
+        vae=dataclasses.replace(cfg.vae, remat=True))
 
 
 def make_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
@@ -361,15 +362,27 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
                          donate_argnums=(0, 1) if donate else ())
 
     def step(trainable, opt_state, batch, rng):
+        # UNIRESTORE_TRAIN_STOP_AFTER=shared|fr|cn|te truncates the step
+        # after that sub-module: used by tools/bench_train.py to compile
+        # ONE fresh XLA module per subprocess (this platform's remote
+        # compile server leaks memory across large compiles in a session
+        # and dies with ResourceExhausted on the 2nd-3rd big module; the
+        # persistent compilation cache carries the executables across)
+        import os
+        stop_after = os.environ.get("UNIRESTORE_TRAIN_STOP_AFTER")
         lq, hq = batch["lq"], batch["hq"]
         logs = {}
         with force_xla_attention():  # trace-time: see attention.py
             h0, h0_mids, zt, ts_, k_lq = shared_fwd(frozen, trainable, hq,
                                                     rng)
+            if stop_after == "shared":
+                return trainable, opt_state, {"train/loss": h0.mean()}
             loss_fr, (fr_logs, l0, l0_mids), g_fr = fr_part(
                 frozen, trainable, lq, k_lq, h0, h0_mids)
             logs.update(fr_logs)
             loss = loss_fr if need_fr_loss else jnp.float32(0.0)
+            if stop_after == "fr":
+                return trainable, opt_state, {"train/loss": loss}
             if cfg.use_cnet:
                 loss_cn, pred_z0, g_cn = cn_part(frozen, trainable, zt, l0,
                                                  ts_, h0)
@@ -378,12 +391,16 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
                     loss = loss + loss_cn
             else:
                 pred_z0, g_cn = l0, {}
+            if stop_after == "cn":
+                return trainable, opt_state, {"train/loss": loss}
             g_te = {}
             if need_te_loss:
                 loss_te, g_te = te_part(frozen, trainable, pred_z0, l0_mids,
                                         hq, batch.get("gt"))
                 logs[f"train/loss_{task}"] = loss_te
                 loss = loss + loss_te
+            if stop_after == "te":
+                return trainable, opt_state, {"train/loss": loss}
             trainable, opt_state = apply_part(
                 trainable, opt_state, [g_fr, g_cn, g_te])
         logs["train/loss"] = loss
