@@ -190,3 +190,56 @@ def test_unirestore_jit_per_task():
 
     out = run_ir(frozen, trainable, img, jax.random.PRNGKey(2))
     assert out.shape == img.shape
+
+
+def test_remat_grads_match_no_remat():
+    """UNetConfig.remat / VAEConfig.remat / cfrm_stage(remat=) are pure
+    scheduling (jax.checkpoint): forward and grads must match the
+    non-remat graphs to float tolerance."""
+    import dataclasses
+
+    from unirestore_tpu.models import cfrm as CFRM
+    from unirestore_tpu.models import unet as UN
+    from unirestore_tpu.models import vae as V
+
+    # UNet: grads w.r.t. the control adapters through the decode path
+    cfg = UN.tiny_unet_config()
+    k = jax.random.PRNGKey(0)
+    p = UN.unet_init(k, cfg)
+    cp = UN.control_adapters_init(jax.random.fold_in(k, 1), cfg)
+    x = jax.random.uniform(k, (2, 8, 8, 4))
+    ehs = jax.random.uniform(k, (2, 77, cfg.cross_attention_dim))
+    ts = jnp.array([100, 200])
+    ctrl = [jax.random.uniform(jax.random.fold_in(k, i),
+                               (2, 8 // (2 ** min(i, 3)),
+                                8 // (2 ** min(i, 3)), 32))
+            for i in range(len(cfg.block_out_channels))]
+
+    def unet_loss(cp_, cfg_):
+        return jnp.sum(UN.unet_apply(p, cfg_, x, ts, ehs, control=ctrl,
+                                     control_params=cp_) ** 2)
+
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    g0 = jax.grad(lambda c: unet_loss(c, cfg))(cp)
+    g1 = jax.grad(lambda c: unet_loss(c, cfg_r))(cp)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4), g0, g1)
+
+    # VAE encode + CFRM: grads w.r.t. the CFRM stages through the skips
+    vcfg = V.tiny_vae_config()
+    vp = V.vae_init(jax.random.fold_in(k, 2), vcfg)
+    fr = CFRM.cfrm_init(jax.random.fold_in(k, 3),
+                        channels=vcfg.skip_channels,
+                        depths=vcfg.cfrm_depths)
+    img = jax.random.uniform(jax.random.fold_in(k, 4), (2, 32, 32, 3))
+
+    def enc_loss(fr_, cfg_):
+        _, _, skips = V.encode_moments(vp, img, cfg_, fr_params=fr_,
+                                       enable_fr=True)
+        return sum(jnp.sum(s.astype(jnp.float32) ** 2) for s in skips)
+
+    vcfg_r = dataclasses.replace(vcfg, remat=True)
+    g0 = jax.grad(lambda f: enc_loss(f, vcfg))(fr)
+    g1 = jax.grad(lambda f: enc_loss(f, vcfg_r))(fr)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4), g0, g1)

@@ -222,3 +222,46 @@ def test_fused_attention_gradients():
     g2 = jax.grad(loss_ref)(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-2,
                                rtol=2e-2)
+
+
+def test_chunked_train_attention_matches_unchunked():
+    """The training-path query-chunked attention (Rabe-Staats lax.map over
+    query blocks, attention.py:_chunked_attention) must be numerically
+    identical to the unchunked op in both forward and gradients — softmax
+    is per-query-row, so chunking changes only the schedule."""
+    import os
+
+    p = A.mha_init(jax.random.PRNGKey(0), 32, 2, 16)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 512, 32))
+
+    def run(chunk):
+        old = os.environ.get("UNIRESTORE_TRAIN_ATTN_CHUNK")
+        os.environ["UNIRESTORE_TRAIN_ATTN_CHUNK"] = chunk
+        try:
+            with A.force_xla_attention():
+                out = A.mha(p, x, heads=2)
+                g = jax.grad(
+                    lambda p_: jnp.sum(A.mha(p_, x, heads=2) ** 2))(p)
+        finally:
+            if old is None:
+                del os.environ["UNIRESTORE_TRAIN_ATTN_CHUNK"]
+            else:
+                os.environ["UNIRESTORE_TRAIN_ATTN_CHUNK"] = old
+        return out, g
+
+    out_c, g_c = run("128")
+    out_u, g_u = run("0")
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_u),
+                               atol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4), g_c, g_u)
+
+
+def test_chunked_attention_not_used_outside_training():
+    """Outside force_xla_attention (inference traces) the chunk gate must
+    stay off regardless of sequence length."""
+    assert A._train_attn_chunk(4096, 4096) == 0
+    with A.force_xla_attention():
+        assert A._train_attn_chunk(4096, 4096) == 512
+        assert A._train_attn_chunk(4096, 77) == 0    # cross-attention
+        assert A._train_attn_chunk(512, 512) == 0    # too short to matter

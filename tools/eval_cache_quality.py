@@ -1,28 +1,38 @@
 """Measure the approximation cost of the cached DDIM inference modes.
 
 Runs the flagship restore pipeline on the available device and reports,
-for each cached mode/stride, PSNR and relative L2 deviation of its output
-against the EXACT pipeline's output on the same inputs — the number a
-deployment uses to pick a speed/quality point.
+for each cached mode/stride/warmup, PSNR and relative L2 deviation of its
+output against the EXACT pipeline's output on the same inputs — the
+number a deployment uses to pick a speed/quality point.
 
 With converted sd-turbo weights in $UNIRESTORE_WEIGHTS this is a real
 quality proxy; with the random-init fallback the numbers only sanity-check
 that the cached graphs stay close to the exact one structurally.
 
+On the TPU platform each configuration runs in its OWN subprocess sharing
+a persistent compilation cache: the remote compile server dies after 2-3
+large compiles in one session (see CLAUDE.md), and each (mode, stride,
+warmup) point is a separate full-pipeline XLA module.
+
 Usage: python tools/eval_cache_quality.py [--steps 20] [--batch 4]
-       [--size 512] [--strides 2,3,4,5] [--platform cpu]
+       [--size 512] [--strides 2,3,4,5] [--warmups 0,2] [--platform cpu]
 """
 
 import argparse
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/unirestore_jax_cache")
+EXACT_PATH = os.environ.get("CACHEQ_EXACT_OUT", "/tmp/cacheq_exact.npy")
 
-def main():
+
+def _parse():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--batch", type=int, default=4)
@@ -34,11 +44,20 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (CPU smoke; structural numbers only)")
-    args = ap.parse_args()
+    ap.add_argument("--in-process", action="store_true",
+                    help="run every configuration in this process (CPU/tiny "
+                         "default; TPU default is one subprocess per config)")
+    return ap.parse_args()
 
+
+def _run_one(args, row_spec: str | None):
+    """Compute one configuration's output ((mode, stride, warmup) or the
+    exact pipeline when row_spec is None) and return it as float32."""
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    else:
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     import jax.numpy as jnp
     import numpy as np
     from unirestore_tpu.models import unirestore as UR
@@ -49,42 +68,82 @@ def main():
     sched = UR.schedule(base)
     frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
     trainable = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
-    from unirestore_tpu import zoo
-    if not os.path.exists(os.path.join(zoo.weights_dir(),
-                                       "sd_turbo_vae.npz")):
-        print("# WARNING: random-init weights; numbers are structural only",
-              file=sys.stderr)
 
     images = jax.random.uniform(jax.random.PRNGKey(1),
                                 (args.batch, args.size, args.size, 3),
                                 jnp.bfloat16)
     rng = jax.random.PRNGKey(2)
 
-    def run(cfg):
-        f = jax.jit(lambda fz, tr, im, r: UR.restore_padded(
-            fz, tr, cfg, sched, im, "ir", r,
-            num_inference_steps=args.steps))
-        return np.asarray(f(frozen, trainable, images, rng), np.float32)
+    if row_spec is None:
+        cfg = base
+    else:
+        mode, stride, warmup = row_spec.split(":")
+        cfg = dataclasses.replace(base, cache_mode=mode,
+                                  cache_stride=int(stride),
+                                  cache_warmup=int(warmup))
+    f = jax.jit(lambda fz, tr, im, r: UR.restore_padded(
+        fz, tr, cfg, sched, im, "ir", r, num_inference_steps=args.steps))
+    return np.clip(np.asarray(f(frozen, trainable, images, rng),
+                              np.float32), 0, 1)
 
-    exact = np.clip(run(base), 0, 1)
-    rows = []
-    for mode in ("encoder", "deep"):
-        for stride in (int(s) for s in args.strides.split(",")):
-            for warmup in (int(w) for w in args.warmups.split(",")):
-                cfg = dataclasses.replace(base, cache_mode=mode,
-                                          cache_stride=stride,
-                                          cache_warmup=warmup)
-                out = np.clip(run(cfg), 0, 1)
-                mse = float(np.mean((out - exact) ** 2))
-                psnr = float("inf") if mse == 0 else float(
-                    10 * np.log10(1.0 / mse))
-                rel = float(np.linalg.norm(out - exact)
-                            / max(np.linalg.norm(exact), 1e-9))
-                rows.append({"mode": mode, "stride": stride,
-                             "warmup": warmup,
-                             "psnr_vs_exact_db": round(psnr, 2),
-                             "rel_l2": round(rel, 5)})
-                print(json.dumps(rows[-1]), flush=True)
+
+def _compare(out, exact):
+    import numpy as np
+    mse = float(np.mean((out - exact) ** 2))
+    psnr = float("inf") if mse == 0 else float(10 * np.log10(1.0 / mse))
+    rel = float(np.linalg.norm(out - exact)
+                / max(np.linalg.norm(exact), 1e-9))
+    return round(psnr, 2), round(rel, 5)
+
+
+def main():
+    args = _parse()
+    import numpy as np
+
+    from unirestore_tpu import zoo
+    if not args.tiny and not os.path.exists(
+            os.path.join(zoo.weights_dir(), "sd_turbo_vae.npz")):
+        print("# WARNING: random-init weights; numbers are structural only",
+              file=sys.stderr)
+
+    row_spec = os.environ.get("CACHEQ_ROW")
+    if row_spec is not None:  # child: one config, write output, exit
+        out = _run_one(args, None if row_spec == "exact" else row_spec)
+        np.save(EXACT_PATH if row_spec == "exact"
+                else EXACT_PATH + ".row.npy", out)
+        return
+
+    specs = ["exact"] + [
+        f"{mode}:{stride}:{warmup}"
+        for mode in ("encoder", "deep")
+        for stride in args.strides.split(",")
+        for warmup in args.warmups.split(",")]
+
+    in_process = args.in_process or args.tiny or args.platform == "cpu"
+    exact = None
+    for spec in specs:
+        if in_process:
+            out = _run_one(args, None if spec == "exact" else spec)
+        else:
+            env = dict(os.environ, CACHEQ_ROW=spec,
+                       JAX_COMPILATION_CACHE_DIR=CACHE_DIR)
+            proc = subprocess.run([sys.executable] + sys.argv, env=env,
+                                  capture_output=True, text=True)
+            if proc.returncode != 0:
+                print(f"# config {spec} failed:\n{proc.stderr[-1500:]}",
+                      file=sys.stderr)
+                continue
+            out = np.load(EXACT_PATH if spec == "exact"
+                          else EXACT_PATH + ".row.npy")
+        if spec == "exact":
+            exact = out
+            continue
+        mode, stride, warmup = spec.split(":")
+        psnr, rel = _compare(out, exact)
+        print(json.dumps({"mode": mode, "stride": int(stride),
+                          "warmup": int(warmup),
+                          "psnr_vs_exact_db": psnr, "rel_l2": rel}),
+              flush=True)
 
 
 if __name__ == "__main__":
