@@ -61,8 +61,14 @@ def _precompile_phases():
                    JAX_COMPILATION_CACHE_DIR=CACHE_DIR)
         print(f"precompile [{ph}] ...", flush=True)
         t0 = time.perf_counter()
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("TRAIN_PHASE_TIMEOUT", "3600")))
+        except subprocess.TimeoutExpired:
+            raise SystemExit(f"precompile phase {ph} hung (>1h); a wedged "
+                             "remote compile must not hang the bench")
         dt = time.perf_counter() - t0
         status = "ok" if proc.returncode == 0 else f"rc={proc.returncode}"
         print(f"precompile [{ph}] {status} in {dt:.0f}s", flush=True)
@@ -102,8 +108,13 @@ def main():
                                train_tfa=True)
     tx = OPT.make_optimizer(opt="adamw", lr=1e-4, weight_decay=1e-2)
     opt_state = tx.init(trainable)
-    maker = ST.make_split_train_step if SPLIT else ST.make_train_step
-    step = maker(frozen, cfg, sched, stage, tx, "ir", donate=True)
+    if SPLIT:
+        step = ST.make_split_train_step(
+            frozen, cfg, sched, stage, tx, "ir", donate=True,
+            stop_after=os.environ.get("UNIRESTORE_TRAIN_STOP_AFTER"))
+    else:
+        step = ST.make_train_step(frozen, cfg, sched, stage, tx, "ir",
+                                  donate=True)
 
     k = jax.random.PRNGKey(1)
     batch = {"lq": jax.random.uniform(k, (BATCH, res, res, 3),

@@ -116,12 +116,20 @@ def _train_attn_chunk(t: int, s: int) -> int:
     with ``jax.checkpoint`` per block, so forward AND backward only ever
     hold one (chunk, S) slab. Cross-attention (S=77) and short sequences
     are unaffected. Knob: UNIRESTORE_TRAIN_ATTN_CHUNK (0 disables)."""
+    import math
     import os
     if not _FORCE_XLA:
         return 0
     chunk = int(os.environ.get("UNIRESTORE_TRAIN_ATTN_CHUNK", "512"))
-    if chunk <= 0 or t != s or t <= 2 * chunk or t % chunk != 0:
+    if chunk <= 0 or t != s or t <= 2 * chunk:
         return 0
+    if t % chunk:
+        # snap to a divisor of t so non-pow2 resolutions (e.g. 384px ->
+        # t=2304) still chunk instead of silently reverting to the full
+        # S^2 backward (which OOMs at scale)
+        chunk = math.gcd(t, chunk)
+        if chunk < 64:
+            return 0
     return chunk
 
 

@@ -224,7 +224,8 @@ def make_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
 def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
                           stage: StageConfig, tx, task: str,
                           te_loss_fn: Callable | None = None,
-                          donate: bool = True):
+                          donate: bool = True,
+                          stop_after: str | None = None):
     """Pipelined variant of :func:`make_train_step`: one jit per loss
     subgraph plus a small optimizer-apply jit.
 
@@ -362,14 +363,14 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
                          donate_argnums=(0, 1) if donate else ())
 
     def step(trainable, opt_state, batch, rng):
-        # UNIRESTORE_TRAIN_STOP_AFTER=shared|fr|cn|te truncates the step
-        # after that sub-module: used by tools/bench_train.py to compile
-        # ONE fresh XLA module per subprocess (this platform's remote
-        # compile server leaks memory across large compiles in a session
-        # and dies with ResourceExhausted on the 2nd-3rd big module; the
-        # persistent compilation cache carries the executables across)
-        import os
-        stop_after = os.environ.get("UNIRESTORE_TRAIN_STOP_AFTER")
+        # stop_after="shared"|"fr"|"cn"|"te" truncates the step after that
+        # sub-module: tools/bench_train.py uses it to compile ONE fresh
+        # XLA module per subprocess (this platform's remote compile server
+        # leaks memory across large compiles in a session and dies with
+        # ResourceExhausted on the 2nd-3rd big module; the persistent
+        # compilation cache carries the executables across). Never set in
+        # production training — it is an explicit maker argument, not an
+        # ambient switch.
         lq, hq = batch["lq"], batch["hq"]
         logs = {}
         with force_xla_attention():  # trace-time: see attention.py
