@@ -70,6 +70,15 @@ def _bench_mode(mode: str, stride: int):
         cfg = __import__("dataclasses").replace(
             cfg, cache_mode=mode, cache_stride=stride)
     else:
+        if os.environ.get("BENCH_NO_CACHE") != "1":
+            # persistent compile cache: re-runs skip the multi-minute
+            # remote compile entirely, and the mode subprocesses stay
+            # independent of the compile server's per-session memory leak
+            # (CLAUDE.md)
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/unirestore_jax_cache"))
         cfg = UR.UniRestoreConfig(use_tfa=True, tasks=("ir", "cls", "seg"),
                                   cache_mode=mode, cache_stride=stride)
     frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)

@@ -12,7 +12,9 @@ that the cached graphs stay close to the exact one structurally.
 On the TPU platform each configuration runs in its OWN subprocess sharing
 a persistent compilation cache: the remote compile server dies after 2-3
 large compiles in one session (see CLAUDE.md), and each (mode, stride,
-warmup) point is a separate full-pipeline XLA module.
+warmup) point is a separate full-pipeline XLA module. Results pass
+through a per-run temp directory (CACHEQ_OUT_DIR), so concurrent sweeps
+cannot read each other's outputs.
 
 Usage: python tools/eval_cache_quality.py [--steps 20] [--batch 4]
        [--size 512] [--strides 2,3,4,5] [--warmups 0,2] [--platform cpu]
@@ -24,12 +26,12 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                            "/tmp/unirestore_jax_cache")
-EXACT_PATH = os.environ.get("CACHEQ_EXACT_OUT", "/tmp/cacheq_exact.npy")
 
 
 def _parse():
@@ -50,9 +52,9 @@ def _parse():
     return ap.parse_args()
 
 
-def _run_one(args, row_spec: str | None):
-    """Compute one configuration's output ((mode, stride, warmup) or the
-    exact pipeline when row_spec is None) and return it as float32."""
+def _make_runner(args):
+    """Build (frozen, trainable, inputs) ONCE and return run(spec) ->
+    float32 output for one configuration ("exact" or "mode:stride:warmup")."""
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -68,23 +70,26 @@ def _run_one(args, row_spec: str | None):
     sched = UR.schedule(base)
     frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
     trainable = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
-
     images = jax.random.uniform(jax.random.PRNGKey(1),
                                 (args.batch, args.size, args.size, 3),
                                 jnp.bfloat16)
     rng = jax.random.PRNGKey(2)
 
-    if row_spec is None:
-        cfg = base
-    else:
-        mode, stride, warmup = row_spec.split(":")
-        cfg = dataclasses.replace(base, cache_mode=mode,
-                                  cache_stride=int(stride),
-                                  cache_warmup=int(warmup))
-    f = jax.jit(lambda fz, tr, im, r: UR.restore_padded(
-        fz, tr, cfg, sched, im, "ir", r, num_inference_steps=args.steps))
-    return np.clip(np.asarray(f(frozen, trainable, images, rng),
-                              np.float32), 0, 1)
+    def run(spec: str):
+        if spec == "exact":
+            cfg = base
+        else:
+            mode, stride, warmup = spec.split(":")
+            cfg = dataclasses.replace(base, cache_mode=mode,
+                                      cache_stride=int(stride),
+                                      cache_warmup=int(warmup))
+        f = jax.jit(lambda fz, tr, im, r: UR.restore_padded(
+            fz, tr, cfg, sched, im, "ir", r,
+            num_inference_steps=args.steps))
+        return np.clip(np.asarray(f(frozen, trainable, images, rng),
+                                  np.float32), 0, 1)
+
+    return run
 
 
 def _compare(out, exact):
@@ -108,9 +113,8 @@ def main():
 
     row_spec = os.environ.get("CACHEQ_ROW")
     if row_spec is not None:  # child: one config, write output, exit
-        out = _run_one(args, None if row_spec == "exact" else row_spec)
-        np.save(EXACT_PATH if row_spec == "exact"
-                else EXACT_PATH + ".row.npy", out)
+        out = _make_runner(args)(row_spec)
+        np.save(os.path.join(os.environ["CACHEQ_OUT_DIR"], "out.npy"), out)
         return
 
     specs = ["exact"] + [
@@ -120,21 +124,33 @@ def main():
         for warmup in args.warmups.split(",")]
 
     in_process = args.in_process or args.tiny or args.platform == "cpu"
+    runner = _make_runner(args) if in_process else None
+    out_dir = None if in_process else tempfile.mkdtemp(prefix="cacheq_")
+    timeout_s = int(os.environ.get("CACHEQ_CONFIG_TIMEOUT", "3600"))
     exact = None
     for spec in specs:
         if in_process:
-            out = _run_one(args, None if spec == "exact" else spec)
+            out = runner(spec)
         else:
-            env = dict(os.environ, CACHEQ_ROW=spec,
+            env = dict(os.environ, CACHEQ_ROW=spec, CACHEQ_OUT_DIR=out_dir,
                        JAX_COMPILATION_CACHE_DIR=CACHE_DIR)
-            proc = subprocess.run([sys.executable] + sys.argv, env=env,
-                                  capture_output=True, text=True)
-            if proc.returncode != 0:
-                print(f"# config {spec} failed:\n{proc.stderr[-1500:]}",
+            try:
+                proc = subprocess.run([sys.executable] + sys.argv, env=env,
+                                      capture_output=True, text=True,
+                                      timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                print(f"# config {spec} hung (> {timeout_s}s); skipping",
                       file=sys.stderr)
+                proc = None
+            if proc is None or proc.returncode != 0:
+                if proc is not None:
+                    print(f"# config {spec} failed:\n{proc.stderr[-1500:]}",
+                          file=sys.stderr)
+                if spec == "exact":
+                    raise SystemExit(
+                        "exact pipeline failed; nothing to compare against")
                 continue
-            out = np.load(EXACT_PATH if spec == "exact"
-                          else EXACT_PATH + ".row.npy")
+            out = np.load(os.path.join(out_dir, "out.npy"))
         if spec == "exact":
             exact = out
             continue
