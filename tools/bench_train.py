@@ -20,7 +20,7 @@ from the cache and never triggers a fresh large remote compile.
 
 Env knobs: TRAIN_BATCH (default 8), TRAIN_ITERS (default 8),
 TRAIN_TINY=1 (64px tiny config on CPU — plumbing check), TRAIN_STAGE
-(1|2, default 1), TRAIN_SPLIT=0 (monolithic single-module step — viable
+(1|2|3, default 1; 3 = prompts-only stage-2), TRAIN_SPLIT=0 (monolithic single-module step — viable
 since frozen weights became jit arguments instead of baked constants),
 TRAIN_RES (override resolution), TRAIN_PRECOMPILE=0 (skip the
 per-module subprocess compile pass).
@@ -54,7 +54,7 @@ def _precompile_phases():
     compile."""
     import subprocess
 
-    phases = ["shared", "fr", "cn"] + (["te"] if STAGE == 2 else [])
+    phases = ["shared", "fr", "cn"] + (["te"] if STAGE >= 2 else [])
     for ph in phases:
         env = dict(os.environ, UNIRESTORE_TRAIN_STOP_AFTER=ph,
                    TRAIN_PRECOMPILE="0", TRAIN_ITERS="0",
@@ -92,9 +92,9 @@ def main():
 
     res = int(os.environ.get("TRAIN_RES", "64" if TINY else "512"))
     if TINY:
-        cfg = UR.tiny_config(use_tfa=STAGE == 2, tasks=("ir",))
+        cfg = UR.tiny_config(use_tfa=STAGE >= 2, tasks=("ir",))
     else:
-        cfg = UR.UniRestoreConfig(use_tfa=STAGE == 2, tasks=("ir",))
+        cfg = UR.UniRestoreConfig(use_tfa=STAGE >= 2, tasks=("ir",))
     frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)
     sched = UR.schedule(cfg)
     # bf16 frozen weights (compute path); trainable stays fp32 (master)
@@ -103,9 +103,10 @@ def main():
     if STAGE == 1:
         stage = ST.StageConfig(train_cfrm=True, train_cnet=True,
                                train_tfa=False)
-    else:
+    else:  # stage 3 = stage 2 with only the new task's prompts training
         stage = ST.StageConfig(train_cfrm=False, train_cnet=False,
-                               train_tfa=True)
+                               train_tfa=True,
+                               tfa_prompts_only=STAGE == 3)
     tx = OPT.make_optimizer(opt="adamw", lr=1e-4, weight_decay=1e-2)
     opt_state = tx.init(trainable)
     if SPLIT:

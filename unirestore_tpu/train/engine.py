@@ -286,6 +286,20 @@ class Trainer:
         print(f"[step {step}] {msg}", flush=True)
 
     def fit(self, engine: UniFIEEngine, data, evaluator_factory=None):
+        # persistent compile cache on TPU: full-scale step modules take
+        # minutes to compile through this platform's remote compiler (and
+        # its server leaks across large compiles in one session —
+        # CLAUDE.md); tools/bench_train.py pre-populates the same cache,
+        # so a CLI fit after a bench run starts warm
+        if jax.default_backend() in ("tpu", "axon"):
+            try:
+                if not jax.config.jax_compilation_cache_dir:
+                    jax.config.update(
+                        "jax_compilation_cache_dir",
+                        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                       "/tmp/unirestore_jax_cache"))
+            except Exception:  # cache stays off on exotic backends
+                pass
         n_dev = len(self.mesh.devices.reshape(-1))
         train_loader = data.train_dataloader()
         batch_size = train_loader.batch_size
