@@ -485,3 +485,24 @@ def test_reference_yamls_build_unchanged(name):
     assert etype in ("ir", "mtl")
     if name == "train_stage3.yaml":
         assert "det" in engine.cfg.tasks
+
+
+def test_split_step_stop_after_leaves_state_untouched():
+    """stop_after (the bench precompile hook) must return trainable and
+    opt_state unchanged — it exists to compile sub-modules, never to
+    half-apply a training step."""
+    cfg, frozen, trainable, sched, _ = _tiny_setup(use_tfa=False,
+                                                   tasks=("ir",))
+    stage = ST.StageConfig(train_cfrm=True, train_cnet=True)
+    tx = OPT.make_optimizer(opt="momentum", lr=1e-3, momentum=0.0,
+                            weight_decay=0.0)
+    opt_state = tx.init(trainable)
+    step = ST.make_split_train_step(frozen, cfg, sched, stage, tx, "ir",
+                                    donate=False, stop_after="fr")
+    tr2, opt2, logs = step(trainable, opt_state, _batch(jax.random.PRNGKey(1)),
+                           jax.random.PRNGKey(2))
+    assert np.isfinite(float(logs["train/loss"]))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), tr2, trainable)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), opt2, opt_state)
