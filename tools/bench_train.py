@@ -23,7 +23,10 @@ TRAIN_TINY=1 (64px tiny config on CPU — plumbing check), TRAIN_STAGE
 (1|2|3, default 1; 3 = prompts-only stage-2), TRAIN_SPLIT=0 (monolithic single-module step — viable
 since frozen weights became jit arguments instead of baked constants),
 TRAIN_RES (override resolution), TRAIN_PRECOMPILE=0 (skip the
-per-module subprocess compile pass).
+per-module subprocess compile pass), TRAIN_TASK (ir|cls|seg|det,
+default ir; non-ir implies a stage>=2 protocol with the matching frozen
+critic in the TFA loss — CE through ResNet-50 for cls, CE through
+DeepLabV3+ for seg, detector loss sum for det; engine_unifie.py:238-336).
 """
 
 import json
@@ -41,6 +44,9 @@ BATCH = int(os.environ.get("TRAIN_BATCH", "8"))
 ITERS = int(os.environ.get("TRAIN_ITERS", "8"))
 TINY = os.environ.get("TRAIN_TINY") == "1"
 STAGE = int(os.environ.get("TRAIN_STAGE", "1"))
+TASK = os.environ.get("TRAIN_TASK", "ir")
+if TASK != "ir":
+    STAGE = max(STAGE, 2)  # critic-in-the-loop TFA training is stage >= 2
 SPLIT = os.environ.get("TRAIN_SPLIT", "1") == "1"
 PRECOMPILE = os.environ.get("TRAIN_PRECOMPILE", "1") == "1"
 CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
@@ -91,10 +97,12 @@ def main():
     from unirestore_tpu.train import steps as ST
 
     res = int(os.environ.get("TRAIN_RES", "64" if TINY else "512"))
+    use_tfa = STAGE >= 2
+    tasks = ("ir",) if TASK == "ir" else ("ir", TASK)
     if TINY:
-        cfg = UR.tiny_config(use_tfa=STAGE >= 2, tasks=("ir",))
+        cfg = UR.tiny_config(use_tfa=use_tfa, tasks=tasks)
     else:
-        cfg = UR.UniRestoreConfig(use_tfa=STAGE >= 2, tasks=("ir",))
+        cfg = UR.UniRestoreConfig(use_tfa=use_tfa, tasks=tasks)
     frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)
     sched = UR.schedule(cfg)
     # bf16 frozen weights (compute path); trainable stays fp32 (master)
@@ -107,21 +115,55 @@ def main():
         stage = ST.StageConfig(train_cfrm=False, train_cnet=False,
                                train_tfa=True,
                                tfa_prompts_only=STAGE == 3)
+    te_fn = None
+    if TASK != "ir":
+        # the real stage-2 protocol: loss through the frozen task critic
+        # (engine variants, engine_unifie.py:238-336); weights come from
+        # the converted zoo when present, seeded random otherwise (same
+        # compute graph either way — throughput is what's measured here)
+        from unirestore_tpu.train import engine as ENG
+        critics = ENG.build_critics(TASK)
+        te_fn = ENG.make_te_loss_fn(TASK, critics)
     tx = OPT.make_optimizer(opt="adamw", lr=1e-4, weight_decay=1e-2)
     opt_state = tx.init(trainable)
     if SPLIT:
         step = ST.make_split_train_step(
-            frozen, cfg, sched, stage, tx, "ir", donate=True,
+            frozen, cfg, sched, stage, tx, TASK, te_loss_fn=te_fn,
+            donate=True,
             stop_after=os.environ.get("UNIRESTORE_TRAIN_STOP_AFTER"))
     else:
-        step = ST.make_train_step(frozen, cfg, sched, stage, tx, "ir",
-                                  donate=True)
+        step = ST.make_train_step(frozen, cfg, sched, stage, tx, TASK,
+                                  te_loss_fn=te_fn, donate=True)
 
     k = jax.random.PRNGKey(1)
     batch = {"lq": jax.random.uniform(k, (BATCH, res, res, 3),
                                       jnp.bfloat16),
              "hq": jax.random.uniform(jax.random.fold_in(k, 1),
                                       (BATCH, res, res, 3), jnp.bfloat16)}
+    if TASK == "cls":
+        batch["gt"] = jax.random.randint(jax.random.fold_in(k, 2),
+                                         (BATCH,), 0, 1000)
+    elif TASK == "seg":
+        gt = jax.random.randint(jax.random.fold_in(k, 2),
+                                (BATCH, res, res), 0, 19)
+        # sprinkle ignore_index pixels (the 34->19 Cityscapes encode maps
+        # unlabeled classes to 255; the CE must mask them)
+        ign = jax.random.bernoulli(jax.random.fold_in(k, 3), 0.05,
+                                   gt.shape)
+        batch["gt"] = jnp.where(ign, 255, gt).astype(jnp.int32)
+    elif TASK == "det":
+        from unirestore_tpu.tasks.retinanet import pad_targets
+        rng = np.random.default_rng(0)
+        targets = []
+        for _ in range(BATCH):
+            n = int(rng.integers(1, 6))
+            xy = rng.uniform(0, res / 2, (n, 2))
+            wh = rng.uniform(8, res / 2, (n, 2))
+            boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+            labels = rng.integers(0, 5, (n,)).astype(np.int32)
+            targets.append({"boxes": boxes, "labels": labels})
+        boxes, labels, mask = pad_targets(targets)
+        batch["gt"] = {"boxes": boxes, "labels": labels, "mask": mask}
 
     t0 = time.perf_counter()
     trainable, opt_state, logs = step(trainable, opt_state, batch,
@@ -142,6 +184,7 @@ def main():
     assert np.isfinite(loss), loss
     print(json.dumps({
         "metric": (f"stage{STAGE} train img/s/chip ({res}px, "
+                   f"task {TASK}, "
                    f"{'split' if SPLIT else 'monolithic'} step)"),
         "value": round(BATCH / dt, 3), "unit": "img/s",
         "step_ms": round(dt * 1000, 1), "batch": BATCH,

@@ -61,6 +61,77 @@ def build_model_config(model_kwargs: dict) -> tuple[UR.UniRestoreConfig,
     return cfg, stage
 
 
+def build_critics(engine_type: str, downstream: str | None = None) -> dict:
+    """Frozen downstream task nets used as stage-2/3 training critics
+    (the engine variants' criterion dicts, engine_unifie.py:238-336).
+
+    Module-level so tools (bench_train) can build the same critics the
+    engine trains against without constructing a full engine."""
+    critics = {}
+    if engine_type in ("mtl", "cls"):
+        p = RN.resnet_init(jax.random.PRNGKey(7), "resnet50")
+        p, _ = zoo.load_npz_tree("resnet50_v1", p)
+        critics["cls"] = p
+    if engine_type in ("mtl", "seg"):
+        p = DLB.deeplabv3plus_init(jax.random.PRNGKey(8))
+        p, _ = zoo.load_npz_tree("deeplabv3plus_resnet50", p)
+        critics["seg"] = p
+    if engine_type == "det":
+        # downstream selects the detector (engine_unifie.py:319-336)
+        if downstream == "fastrcnn":
+            from ..tasks import fasterrcnn as FRC
+            p = FRC.fasterrcnn_init(jax.random.PRNGKey(9))
+            p, _ = zoo.load_npz_tree("fasterrcnn_resnet50", p)
+        else:
+            from ..tasks import retinanet as RET
+            p = RET.retinanet_init(jax.random.PRNGKey(9))
+            p, _ = zoo.load_npz_tree("retinanet_resnet50", p)
+        critics["det"] = p
+    return critics
+
+
+def make_te_loss_fn(engine_type: str, critics: dict,
+                    downstream: str | None = None):
+    """te_loss_fn(preds, hq, gt, task) for the jitted train steps."""
+    etype = engine_type
+
+    def fn(preds, hq, gt, task):
+        p32 = preds.astype(jnp.float32)
+        if etype == "mtl":
+            if task == "ir":
+                return 10.0 * jnp.abs(p32 - hq.astype(jnp.float32)).mean()
+            if task == "cls":
+                logits = RN.resnet_apply(critics["cls"], p32)
+                return 0.1 * RN.cross_entropy_loss(logits, gt)
+            if task == "seg":
+                logits = DLB.deeplabv3plus_apply(critics["seg"], p32)
+                return 0.1 * DLB.seg_cross_entropy_loss(logits, gt)
+            raise KeyError(f"Task [{task}] is not defined!")
+        if etype == "ir":
+            return jnp.abs(p32 - hq.astype(jnp.float32)).mean()
+        if etype == "cls":
+            logits = RN.resnet_apply(critics["cls"], p32)
+            return RN.cross_entropy_loss(logits, gt)
+        if etype == "seg":
+            logits = DLB.deeplabv3plus_apply(critics["seg"], p32)
+            return DLB.seg_cross_entropy_loss(logits, gt)
+        if etype == "det":
+            # gt is the padded dict {"boxes", "labels", "mask"}
+            # (DetectionLoss: sum of detector loss terms,
+            # eval_detection.py:164-192)
+            if downstream == "fastrcnn":
+                from ..tasks import fasterrcnn as FRC
+                return FRC.fasterrcnn_loss(
+                    critics["det"], p32, gt["boxes"], gt["labels"],
+                    gt["mask"])
+            from ..tasks import retinanet as RET
+            return RET.retinanet_loss(critics["det"], p32, gt["boxes"],
+                                      gt["labels"], gt["mask"])
+        raise KeyError(etype)
+
+    return fn
+
+
 class UniFIEEngine:
     """Builds params, loads stage checkpoints, owns train/eval closures."""
 
@@ -130,67 +201,11 @@ class UniFIEEngine:
 
     def build_critics(self):
         """Frozen downstream nets for stage-2 losses/eval (lazy)."""
-        critics = {}
-        if self.engine_type in ("mtl", "cls"):
-            p = RN.resnet_init(jax.random.PRNGKey(7), "resnet50")
-            p, _ = zoo.load_npz_tree("resnet50_v1", p)
-            critics["cls"] = p
-        if self.engine_type in ("mtl", "seg"):
-            p = DLB.deeplabv3plus_init(jax.random.PRNGKey(8))
-            p, _ = zoo.load_npz_tree("deeplabv3plus_resnet50", p)
-            critics["seg"] = p
-        if self.engine_type == "det":
-            # downstream selects the detector (engine_unifie.py:319-336)
-            if self.downstream == "fastrcnn":
-                from ..tasks import fasterrcnn as FRC
-                p = FRC.fasterrcnn_init(jax.random.PRNGKey(9))
-                p, _ = zoo.load_npz_tree("fasterrcnn_resnet50", p)
-            else:
-                from ..tasks import retinanet as RET
-                p = RET.retinanet_init(jax.random.PRNGKey(9))
-                p, _ = zoo.load_npz_tree("retinanet_resnet50", p)
-            critics["det"] = p
-        return critics
+        return build_critics(self.engine_type, self.downstream)
 
     def te_loss_fn(self, critics):
         """Returns te_loss_fn(preds, hq, gt, task) for the jitted step."""
-        etype = self.engine_type
-
-        def fn(preds, hq, gt, task):
-            p32 = preds.astype(jnp.float32)
-            if etype == "mtl":
-                if task == "ir":
-                    return 10.0 * jnp.abs(p32 - hq.astype(jnp.float32)).mean()
-                if task == "cls":
-                    logits = RN.resnet_apply(critics["cls"], p32)
-                    return 0.1 * RN.cross_entropy_loss(logits, gt)
-                if task == "seg":
-                    logits = DLB.deeplabv3plus_apply(critics["seg"], p32)
-                    return 0.1 * DLB.seg_cross_entropy_loss(logits, gt)
-                raise KeyError(f"Task [{task}] is not defined!")
-            if etype == "ir":
-                return jnp.abs(p32 - hq.astype(jnp.float32)).mean()
-            if etype == "cls":
-                logits = RN.resnet_apply(critics["cls"], p32)
-                return RN.cross_entropy_loss(logits, gt)
-            if etype == "seg":
-                logits = DLB.deeplabv3plus_apply(critics["seg"], p32)
-                return DLB.seg_cross_entropy_loss(logits, gt)
-            if etype == "det":
-                # gt is the padded dict {"boxes", "labels", "mask"}
-                # (DetectionLoss: sum of detector loss terms,
-                # eval_detection.py:164-192)
-                if self.downstream == "fastrcnn":
-                    from ..tasks import fasterrcnn as FRC
-                    return FRC.fasterrcnn_loss(
-                        critics["det"], p32, gt["boxes"], gt["labels"],
-                        gt["mask"])
-                from ..tasks import retinanet as RET
-                return RET.retinanet_loss(critics["det"], p32, gt["boxes"],
-                                          gt["labels"], gt["mask"])
-            raise KeyError(etype)
-
-        return fn
+        return make_te_loss_fn(self.engine_type, critics, self.downstream)
 
     # -- inference ---------------------------------------------------------
 
