@@ -175,10 +175,18 @@ def main():
 
     if ITERS == 0:  # precompile child: one (possibly truncated) step only
         return
+    # TRAIN_FIXED_RNG=1: same key every step -> a deterministic objective
+    # on the fixed batch (same DDPM timestep + noise draw), the standard
+    # single-batch overfit check — loss must fall if optimization works.
+    fixed_rng = os.environ.get("TRAIN_FIXED_RNG") == "1"
+    log_every = int(os.environ.get("TRAIN_LOG_EVERY", "0"))
     t0 = time.perf_counter()
     for i in range(ITERS):
-        trainable, opt_state, logs = step(trainable, opt_state, batch,
-                                          jax.random.PRNGKey(3 + i))
+        key = jax.random.PRNGKey(3) if fixed_rng else jax.random.PRNGKey(3 + i)
+        trainable, opt_state, logs = step(trainable, opt_state, batch, key)
+        if log_every and (i + 1) % log_every == 0:
+            print(json.dumps({"step": i + 1, "loss": round(
+                float(np.asarray(logs["train/loss"])), 5)}), flush=True)
     loss = float(np.asarray(logs["train/loss"]))  # sync
     dt = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(loss), loss
