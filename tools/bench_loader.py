@@ -8,10 +8,14 @@ C++ kernels when built) sustains on this host, so the device-step budget
 in PERF.md can be compared against input throughput directly.
 
 Usage: python tools/bench_loader.py [--batches N] [--batch-size B]
-       [--res R] [--workers W] [--severity-mix]
+       [--res R] [--workers W] [--n-images M]
 
 Writes one JSON line: {"metric": "loader img/s", "value": ...}.
-Synthesizes a small on-disk image set first (no dataset dependency).
+Synthesizes a small on-disk image set first (no dataset dependency);
+by default enough images that the timed window never restarts the
+epoch (an iterator restart rebuilds the worker pool and refills the
+prefetch queue from cold, which would understate steady-state
+throughput).
 """
 
 import argparse
@@ -30,8 +34,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--workers", type=int, default=4)
-    ap.add_argument("--n-images", type=int, default=32)
+    ap.add_argument("--n-images", type=int, default=0,
+                    help="0 = enough for warmup + timed batches in one "
+                         "epoch (no mid-measurement iterator restart)")
     args = ap.parse_args()
+    if args.n_images <= 0:
+        args.n_images = (args.batches + 1) * args.batch_size
 
     import numpy as np
     from PIL import Image

@@ -49,8 +49,9 @@ if TASK != "ir":
     STAGE = max(STAGE, 2)  # critic-in-the-loop TFA training is stage >= 2
 SPLIT = os.environ.get("TRAIN_SPLIT", "1") == "1"
 PRECOMPILE = os.environ.get("TRAIN_PRECOMPILE", "1") == "1"
-CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           "/tmp/unirestore_jax_cache")
+from unirestore_tpu.compile_cache import cache_dir  # noqa: E402
+
+CACHE_DIR = cache_dir()
 
 
 def _precompile_phases():
@@ -87,7 +88,8 @@ def main():
     if TINY:
         jax.config.update("jax_platforms", "cpu")
     else:
-        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        from unirestore_tpu.compile_cache import enable_compile_cache
+        enable_compile_cache()
     if PRECOMPILE and SPLIT and not TINY \
             and not os.environ.get("UNIRESTORE_TRAIN_STOP_AFTER"):
         _precompile_phases()

@@ -30,8 +30,9 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           "/tmp/unirestore_jax_cache")
+from unirestore_tpu.compile_cache import cache_dir  # noqa: E402
+
+CACHE_DIR = cache_dir()
 
 
 def _parse():
@@ -59,7 +60,8 @@ def _make_runner(args):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     else:
-        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        from unirestore_tpu.compile_cache import enable_compile_cache
+        enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from unirestore_tpu.models import unirestore as UR

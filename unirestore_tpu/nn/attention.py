@@ -116,7 +116,6 @@ def _train_attn_chunk(t: int, s: int) -> int:
     with ``jax.checkpoint`` per block, so forward AND backward only ever
     hold one (chunk, S) slab. Cross-attention (S=77) and short sequences
     are unaffected. Knob: UNIRESTORE_TRAIN_ATTN_CHUNK (0 disables)."""
-    import math
     import os
     if not _FORCE_XLA:
         return 0
@@ -124,10 +123,22 @@ def _train_attn_chunk(t: int, s: int) -> int:
     if chunk <= 0 or t != s or t <= 2 * chunk:
         return 0
     if t % chunk:
-        # snap to a divisor of t so non-pow2 resolutions (e.g. 384px ->
-        # t=2304) still chunk instead of silently reverting to the full
-        # S^2 backward (which OOMs at scale)
-        chunk = math.gcd(t, chunk)
+        # snap to the LARGEST divisor of t that is <= chunk, so non-pow2
+        # resolutions (384px -> t=2304 -> chunk 384; 288px -> t=1296 ->
+        # 432) still chunk instead of silently reverting to the full S^2
+        # backward (which OOMs at scale). A gcd(t, chunk) snap only
+        # extracted t's powers of two and bailed for most non-pow2 sizes.
+        best = 0
+        d = 1
+        while d * d <= t:
+            if t % d == 0:
+                if d <= chunk:
+                    best = max(best, d)
+                q = t // d
+                if q <= chunk:
+                    best = max(best, q)
+            d += 1
+        chunk = best
         if chunk < 64:
             return 0
     return chunk

@@ -307,14 +307,9 @@ class Trainer:
         # CLAUDE.md); tools/bench_train.py pre-populates the same cache,
         # so a CLI fit after a bench run starts warm
         if jax.default_backend() in ("tpu", "axon"):
-            try:
-                if not jax.config.jax_compilation_cache_dir:
-                    jax.config.update(
-                        "jax_compilation_cache_dir",
-                        os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                       "/tmp/unirestore_jax_cache"))
-            except Exception:  # cache stays off on exotic backends
-                pass
+            from ..compile_cache import enable_compile_cache
+            if not jax.config.jax_compilation_cache_dir:
+                enable_compile_cache()
         n_dev = len(self.mesh.devices.reshape(-1))
         train_loader = data.train_dataloader()
         batch_size = train_loader.batch_size

@@ -252,6 +252,14 @@ def make_split_train_step(frozen, cfg: UR.UniRestoreConfig, sched,
     """
     from ..nn.attention import force_xla_attention
 
+    if stop_after not in (None, "shared", "fr", "cn", "te"):
+        # a typo here would silently run the FULL step — including a real
+        # optimizer update — inside what the caller believes is a
+        # compile-only no-op (and compile every module in one
+        # remote-compiler session, the exact failure the hook avoids)
+        raise ValueError(f"stop_after must be one of "
+                         f"shared|fr|cn|te, got {stop_after!r}")
+
     cfg = _with_train_remat(cfg)
 
     FR_KEYS = ("cfrm",)
