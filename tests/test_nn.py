@@ -265,3 +265,20 @@ def test_chunked_attention_not_used_outside_training():
         assert A._train_attn_chunk(4096, 4096) == 512
         assert A._train_attn_chunk(4096, 77) == 0    # cross-attention
         assert A._train_attn_chunk(512, 512) == 0    # too short to matter
+
+
+def test_chunk_snap_non_pow2_resolutions():
+    """The chunk size must snap to the largest divisor of t <= the knob
+    for non-pow2 token counts (288px -> t=1296, 352px -> 1936, ...) —
+    a gcd snap only extracted t's powers of two and silently fell back
+    to the full S^2 backward for most of these."""
+    with A.force_xla_attention():
+        assert A._train_attn_chunk(4096, 4096) == 512   # pow2: exact
+        assert A._train_attn_chunk(2304, 2304) == 384   # 384px
+        assert A._train_attn_chunk(1296, 1296) == 432   # 288px
+        assert A._train_attn_chunk(1936, 1936) == 484   # 352px
+        assert A._train_attn_chunk(4900, 4900) == 490   # 560px
+        # snapped chunk always divides t (lax.map requires it)
+        for t in (1296, 1600, 1936, 2304, 2704, 3136, 3600, 4900):
+            c = A._train_attn_chunk(t, t)
+            assert c and t % c == 0 and c <= 512
