@@ -1,6 +1,8 @@
 """Generate a tiny synthetic dataset tree + smoke config for CLI dry runs.
 
-Usage: python tools/make_smoke_data.py [out_dir]
+Usage: python tools/make_smoke_data.py [out_dir] [res]
+(`res`: image short side, default 96 — pass >= 576 to drive FULL-SCALE
+512px training configs with the same smoke tree)
 Creates out_dir/{images,lists}/... and out_dir/smoke.yaml; then:
 
     python main.py fit --config <out_dir>/smoke.yaml --tiny --platform cpu
@@ -14,18 +16,22 @@ import numpy as np
 from PIL import Image
 
 
-def main(out="./smoke_data"):
+def main(out="./smoke_data", res="96"):
+    res = int(res)
+    hw_default = (res, res + 16)
     rng = np.random.default_rng(0)
     img_dir = os.path.join(out, "images")
     os.makedirs(img_dir, exist_ok=True)
 
-    def save_img(name, hw=(96, 112)):
+    def save_img(name, hw=None):
+        hw = hw or hw_default
         p = os.path.join(img_dir, name)
         Image.fromarray((rng.uniform(size=(*hw, 3)) * 255).astype(
             np.uint8)).save(p)
         return p
 
-    def save_mask(name, hw=(96, 112)):
+    def save_mask(name, hw=None):
+        hw = hw or hw_default
         p = os.path.join(img_dir, name)
         Image.fromarray(rng.integers(0, 34, size=hw).astype(np.uint8),
                         mode="L").save(p)
@@ -97,7 +103,7 @@ data:
   class_path: data.DatasetEngine
   init_args:
     task: ir
-    train: {{type: div2kost, resolution: 64, batch_size: 2}}
+    train: {{type: div2kost, resolution: {min(64, res)}, batch_size: 2}}
     val: {{type: val, val_list: [], batch_size: 1}}
     crp_mode: common
     num_workers: 0
