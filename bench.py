@@ -109,22 +109,18 @@ def _bench_mode(mode: str, stride: int):
     return _bench(run_one, frozen, trainable, images, rng)
 
 
-def _quantize(x):
-    """uint8-rounded floats, the reference's pre-metric quantization
-    (eval_image_restoration.py:71)."""
-    return np.clip(np.round(np.clip(x, 0, 1) * 255), 0, 255) / 255.0
-
-
 def _psnr_vs_exact(out: np.ndarray, exact_path: str) -> float | None:
     """Quality gate for the cached modes: PSNR against the exact-mode
     output on the SAME inputs and per-step rng (same PRNGKeys across the
-    mode subprocesses)."""
+    mode subprocesses). Quantization/PSNR reuse the eval pipeline's own
+    implementations (evalx.metrics) so the gate can never drift from the
+    reference's pre-metric protocol."""
     if not os.path.exists(exact_path):
         return None
-    exact = _quantize(np.load(exact_path))
-    got = _quantize(out)
-    mse = float(np.mean((exact - got) ** 2))
-    return float(10 * np.log10(1.0 / max(mse, 1e-12)))
+    from unirestore_tpu.evalx import metrics as M
+    exact = M.quantize_preds(np.load(exact_path))
+    got = M.quantize_preds(out)
+    return float(min(M.psnr(exact, got), 99.0))
 
 
 def main():

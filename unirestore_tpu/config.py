@@ -131,7 +131,9 @@ def build(cfg: dict, tiny: bool = False):
         seed=cfg.get("seed_everything", 42),
         profiler=t.get("profiler"),
         resume=t.get("resume"),
-        split_step=bool(t.get("split_step", False)),
+        # None -> platform default (split under the axon remote compiler)
+        split_step=(None if t.get("split_step") is None
+                    else bool(t.get("split_step"))),
     )
 
     d = cfg.get("data", {}).get("init_args", {})

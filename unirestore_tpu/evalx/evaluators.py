@@ -35,9 +35,12 @@ def _clone_metric(m):
     NetworkSharedMultioutputWrapper semantics (task.py:30-60)."""
     import copy
     c = copy.copy(m)
-    if hasattr(c, "niqe"):  # PIMetric: clone inner state too
-        c.niqe = copy.copy(c.niqe)
-        c.niqe.reset()
+    if hasattr(c, "niqe"):  # PIMetric: clone BOTH inner states — a
+        c.niqe = copy.copy(c.niqe)  # shared nrqm would mix hq/lq streams
+        c.niqe.reset()              # and be zeroed by the first reset
+    if getattr(c, "nrqm", None) is not None:
+        c.nrqm = copy.copy(c.nrqm)
+        c.nrqm.reset()
     if hasattr(c, "reset"):
         c.reset()
     return c

@@ -252,7 +252,12 @@ class NRQMMetric:
             self.count += 1
 
     def compute(self):
-        return self.total / max(self.count, 1)
+        if self.count == 0:
+            # match the suite's documented no-data stand-in (NRQM=5.0,
+            # nr_suite.PIMetric) instead of silently returning 0.0 and
+            # shifting PI by 2.5 points
+            return 5.0
+        return self.total / self.count
 
     def reset(self):
         self.total, self.count = 0.0, 0

@@ -156,6 +156,11 @@ class CheckpointManager:
         save_checkpoint(fname, trainable, step, opt_state,
                         {**(metadata or {}), self.monitor: metric_value})
         key = metric_value if self.mode == "max" else -metric_value
+        # a resumed run can re-save an identical step/val filename (the
+        # file was just overwritten) — replace the entry, never duplicate
+        # it, or one duplicate eats a top-k slot and popping it deletes
+        # the file out from under the surviving entry
+        self._saved = [t for t in self._saved if t[1] != fname]
         self._saved.append((key, fname))
         self._saved.sort(key=lambda t: -t[0])
         while len(self._saved) > self.save_top_k:

@@ -194,8 +194,10 @@ class UniFIEEngine:
         # distinct input shape without limit (serve.py bounds its cache the
         # same way)
         self._jit_cache = collections.OrderedDict()
-        self._jit_cache_max = int(os.environ.get(
-            "UNIRESTORE_JIT_CACHE_SIZE", "8"))
+        # floor of 1: eviction runs after insertion, so a 0 would evict
+        # the program just compiled and KeyError on first use
+        self._jit_cache_max = max(1, int(os.environ.get(
+            "UNIRESTORE_JIT_CACHE_SIZE", "8")))
 
     # -- losses (engine variants, engine_unifie.py:238-336) ---------------
 
@@ -264,7 +266,7 @@ class Trainer:
                  limit_val_batches: int | None = None, seed: int = 42,
                  profiler: str | None = None,
                  resume: str | bool | None = None,
-                 split_step: bool = False):
+                 split_step: bool | None = None):
         self.max_steps = max_steps
         # restart-based recovery (Lightning ckpt_path resume): True/"auto"
         # resumes from <root>/checkpoints/last.npz when present; a path
@@ -273,7 +275,12 @@ class Trainer:
         self.resume = resume
         # split the train step into one XLA module per loss subgraph
         # (steps.make_split_train_step) — needed on platforms whose
-        # compiler cannot hold the monolithic full-scale backward
+        # compiler cannot hold the monolithic full-scale backward.
+        # None = platform default: ON under the remote-compile tunnel
+        # (axon), OFF elsewhere (monolithic saves one encode dispatch)
+        if split_step is None:
+            import jax as _jax
+            split_step = _jax.default_backend() == "axon"
         self.split_step = split_step
         self.val_check_interval = val_check_interval
         self.log_every = log_every_n_steps

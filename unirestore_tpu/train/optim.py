@@ -64,9 +64,13 @@ def make_optimizer(opt: str = "adamw", lr=1e-4, weight_decay: float = 1e-2,
     decoupled = {
         "adamw": lambda: optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, **wd),
         "nadamw": lambda: optax.nadamw(lr, **wd),
+        # decoupled: decay joins AFTER the moment normalizer, scaled only
+        # by lr (AdamW-style) — decaying before optax.radam would push the
+        # decay term through RAdam's adaptive rescaling (coupled L2)
         "radam": lambda: optax.chain(
+            optax.scale_by_radam(),
             optax.add_decayed_weights(weight_decay, mask=_wd_mask),
-            optax.radam(lr)),
+            optax.scale_by_learning_rate(lr)),
         "lamb": lambda: optax.lamb(lr, **wd),
         "lion": lambda: optax.lion(lr, **wd),
         "adafactor": lambda: optax.adafactor(
