@@ -198,3 +198,40 @@ def test_convert_hyperiqa_covers_tree():
     out = CI.convert_hyperiqa(_fake(rule))
     _check(tree, out, optional=("downsample",),
            ignore_ours=(f"backbone//fc",))
+
+
+def test_pi_clone_has_independent_nrqm_state():
+    """_clone_metric must deep-ish copy BOTH PIMetric inner metrics: a
+    shared NRQM instance would mix the hq/lq streams and be zeroed by
+    the first clone's reset (evaluators run one clone per eval_type)."""
+    import numpy as np
+    from unirestore_tpu.evalx.evaluators import _clone_metric
+    from unirestore_tpu.evalx.nrqm import NRQMMetric
+
+    class FakeNiqe:
+        def __init__(self):
+            self.n = 0
+
+        def update(self, x):
+            self.n += 1
+
+        def compute(self):
+            return 4.0
+
+        def reset(self):
+            self.n = 0
+
+    class FakeModel:
+        def score(self, img):
+            return 7.0
+
+    nrqm = NRQMMetric.__new__(NRQMMetric)
+    nrqm.model, nrqm.total, nrqm.count = FakeModel(), 0.0, 0
+    pi = NRS.PIMetric(FakeNiqe(), nrqm)
+    clone = _clone_metric(pi)
+    pi.update(np.zeros((1, 8, 8, 3)))
+    assert pi.nrqm.count == 1 and clone.nrqm.count == 0
+    clone.reset()
+    assert pi.nrqm.count == 1  # clone reset must not clear the original
+    # empty NRQM falls back to the documented 5.0 stand-in, not 0.0
+    assert clone.nrqm.compute() == 5.0
