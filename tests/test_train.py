@@ -203,6 +203,63 @@ def test_data_parallel_step_on_8_device_mesh():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+@pytest.mark.slow  # two full train-step compiles (~10 min on 1 vCPU)
+def test_fsdp_step_matches_replicated():
+    """FSDP (ZeRO-3) placement must be numerically a no-op: leaves sharded
+    over the data axis, GSPMD all-gathers weights just-in-time and
+    reduce-scatters grads into the sharded update (parallel/fsdp.py). Two
+    consecutive steps also verify the state STAYS sharded across steps
+    rather than silently collapsing to replicated."""
+    from unirestore_tpu.parallel import fsdp_shard, sharded_fraction
+
+    cfg, frozen, trainable, sched, stage = _tiny_setup()
+    # SGD: linear in grads (see test_data_parallel_step_on_8_device_mesh)
+    tx = OPT.make_optimizer(opt="sgd", lr=1e-3)
+    mesh = make_mesh()
+    batches = [_batch(jax.random.PRNGKey(i), b=8) for i in (1, 3)]
+    rng = jax.random.PRNGKey(2)
+
+    outs = []
+    for mode in ("replicated", "fsdp"):
+        place = ((lambda t: fsdp_shard(mesh, t, min_size=64))
+                 if mode == "fsdp" else (lambda t: replicate(mesh, t)))
+        tr, fr = place(trainable), place(frozen)
+        opt = place(tx.init(trainable))
+        if mode == "fsdp":
+            assert sharded_fraction(tr) > 0.5
+            assert sharded_fraction(fr) > 0.5
+        step = ST.make_train_step(fr, cfg, sched, stage, tx, "ir",
+                                  donate=False)
+        logs = None
+        for b in batches:
+            tr, opt, logs = step(tr, opt, shard_batch(mesh, b), rng)
+        outs.append((tr, logs))
+    (tr_rep, logs_rep), (tr_fsdp, logs_fsdp) = outs
+
+    # the updated state kept its sharded placement across steps
+    assert sharded_fraction(tr_fsdp) > 0.5
+    np.testing.assert_allclose(float(logs_fsdp["train/loss"]),
+                               float(logs_rep["train/loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(tr_rep), jax.tree.leaves(tr_fsdp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fsdp_spec_rules():
+    """Sharding rule: largest mesh-divisible axis; small/indivisible leaves
+    replicated; scalars untouched."""
+    from jax.sharding import PartitionSpec as P
+
+    from unirestore_tpu.parallel import fsdp_spec
+
+    w = np.zeros((3, 3, 64, 129))  # 129 not divisible by 8 -> 64 wins
+    assert fsdp_spec(w, 8, min_size=1) == P(None, None, "data", None)
+    assert fsdp_spec(np.zeros((128, 256)), 8, min_size=1) == \
+        P(None, "data")
+    assert fsdp_spec(np.zeros((7, 11)), 8, min_size=1) == P()  # indivisible
+    assert fsdp_spec(np.zeros((1024,)), 8) == P()  # < min_size: replicated
+    assert fsdp_spec(np.float32(0.0), 8) == P()  # scalar (schedule count)
+
+
 def test_checkpoint_roundtrip_and_surgery():
     cfg, frozen, trainable, sched, _ = _tiny_setup(use_tfa=True,
                                                    tasks=("ir", "cls"))

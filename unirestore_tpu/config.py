@@ -134,6 +134,7 @@ def build(cfg: dict, tiny: bool = False):
         # None -> platform default (split under the axon remote compiler)
         split_step=(None if t.get("split_step") is None
                     else bool(t.get("split_step"))),
+        fsdp=bool(t.get("fsdp", False)),
     )
 
     d = cfg.get("data", {}).get("init_args", {})

@@ -266,7 +266,8 @@ class Trainer:
                  limit_val_batches: int | None = None, seed: int = 42,
                  profiler: str | None = None,
                  resume: str | bool | None = None,
-                 split_step: bool | None = None):
+                 split_step: bool | None = None,
+                 fsdp: bool = False):
         self.max_steps = max_steps
         # restart-based recovery (Lightning ckpt_path resume): True/"auto"
         # resumes from <root>/checkpoints/last.npz when present; a path
@@ -282,6 +283,10 @@ class Trainer:
             import jax as _jax
             split_step = _jax.default_backend() == "axon"
         self.split_step = split_step
+        # FSDP (ZeRO-3) placement: shard trainable/frozen/optimizer state
+        # over the data axis instead of replicating (parallel/fsdp.py);
+        # GSPMD gathers weights just-in-time and reduce-scatters grads
+        self.fsdp = fsdp
         self.val_check_interval = val_check_interval
         self.log_every = log_every_n_steps
         self.accum = accumulate_grad_batches
@@ -351,9 +356,18 @@ class Trainer:
             print(f"[resume] no checkpoint at {resume_path}; "
                   "starting from scratch")
 
-        trainable = replicate(self.mesh, engine.trainable)
-        frozen = replicate(self.mesh, engine.frozen)
-        opt_state = replicate(self.mesh, opt_state_h)
+        if self.fsdp:
+            from ..parallel import fsdp_shard, sharded_fraction
+            trainable = fsdp_shard(self.mesh, engine.trainable)
+            frozen = fsdp_shard(self.mesh, engine.frozen)
+            opt_state = fsdp_shard(self.mesh, opt_state_h)
+            print(f"[fsdp] sharded {sharded_fraction(trainable):.0%} of "
+                  f"trainable / {sharded_fraction(frozen):.0%} of frozen "
+                  f"elements over {n_dev} devices")
+        else:
+            trainable = replicate(self.mesh, engine.trainable)
+            frozen = replicate(self.mesh, engine.frozen)
+            opt_state = replicate(self.mesh, opt_state_h)
 
         steps_by_task = {}
 
