@@ -7,10 +7,12 @@ in isolation (no surrounding graph), which separates
 slack in our pipeline": if an isolated op matches its in-situ MFU, the
 pipeline is AT the per-shape cap and the remaining gap is physical.
 
-Each op runs ITERS times inside one lax.scan (dispatch amortized; the
-carry threads the output back as input so iterations cannot be elided),
-synced by a host scalar read (platform gotcha: block_until_ready is not
-reliable here).
+Timing comes from tools/profile_components.timeit — ITERS invocations
+inside one lax.scan (dispatch amortized, iterations kept live by a
+carry perturbation), best-of-2 after warmup, synced by a host scalar
+read (platform gotcha: block_until_ready is not reliable here). The
+scan carry accumulates the output's mean, so every output element is
+consumed and XLA cannot dead-code-eliminate any matmul columns.
 
 Usage: python tools/microbench_shapes.py [--iters 50] [--batch 8]
 Prints one JSON line per op: {"op", "shape", "ms", "tflops", "mfu"}.
@@ -20,67 +22,31 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+import profile_components as PC
+
 PEAK_TFLOPS = 197.0  # v5e bf16
-
-
-def _time_scan(f, x, w, iters):
-    """Run y=f(x,w) iters times inside one jit; returns seconds/iter."""
-
-    @jax.jit
-    def run(x, w):
-        def body(carry, _):
-            y = f(carry, w)
-            # renormalize so the carry keeps x's scale/shape lineage:
-            # cast back to input dtype and rescale to unit RMS (avoids
-            # overflow across iters while keeping every iter live)
-            y = y.astype(x.dtype)
-            y = y * jax.lax.rsqrt(jnp.mean(jnp.square(
-                y.astype(jnp.float32))) + 1e-6).astype(x.dtype)
-            return y, ()
-        y, _ = jax.lax.scan(body, x, None, length=iters)
-        return y
-
-    y = run(x, w)
-    np.asarray(jax.tree.leaves(y)[0].ravel()[0])  # warmup sync
-    t0 = time.perf_counter()
-    y = run(x, w)
-    np.asarray(jax.tree.leaves(y)[0].ravel()[0])
-    return (time.perf_counter() - t0) / iters
-
-
-def _fold_to(y, cin):
-    """Fold the op output back to cin channels CONSUMING every output
-    element — slicing would let XLA dead-code-eliminate the unused
-    output columns and narrow the measured matmul."""
-    cout = y.shape[-1]
-    if cout == cin:
-        return y
-    if cout % cin == 0:  # e.g. qkv (3x) / GEGLU (8x) expansions
-        return y.reshape(*y.shape[:-1], cout // cin, cin).sum(-2)
-    # contraction (cout < cin): every output is used; zero-pad back
-    pad = [(0, 0)] * (y.ndim - 1) + [(0, cin - cout)]
-    return jnp.pad(y, pad)
 
 
 def conv_case(name, b, hw, cin, cout, k=3):
     x = jax.random.normal(jax.random.PRNGKey(0), (b, hw, hw, cin),
                           jnp.bfloat16)
+    # divide by a PYTHON float: np.float64 scalars are not weak-typed and
+    # would silently promote the bf16 weights (and the measured op) to f32
     w = jax.random.normal(jax.random.PRNGKey(1), (k, k, cin, cout),
-                          jnp.bfloat16) / np.sqrt(k * k * cin)
+                          jnp.bfloat16) / float(np.sqrt(k * k * cin))
 
     def f(x, w):
-        y = jax.lax.conv_general_dilated(
+        return jax.lax.conv_general_dilated(
             x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
-        return _fold_to(y, x.shape[-1])
 
     flops = 2 * b * hw * hw * k * k * cin * cout
     return name, f"{b}x{hw}^2x{cin}->{cout} k{k}", f, x, w, flops
@@ -89,11 +55,10 @@ def conv_case(name, b, hw, cin, cout, k=3):
 def linear_case(name, rows, cin, cout):
     x = jax.random.normal(jax.random.PRNGKey(0), (rows, cin), jnp.bfloat16)
     w = jax.random.normal(jax.random.PRNGKey(1), (cin, cout),
-                          jnp.bfloat16) / np.sqrt(cin)
+                          jnp.bfloat16) / float(np.sqrt(cin))  # see conv_case
 
     def f(x, w):
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-        return _fold_to(y, x.shape[-1])
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     flops = 2 * rows * cin * cout
     return name, f"({rows},{cin})@({cin},{cout})", f, x, w, flops
@@ -103,7 +68,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu for a plumbing run)")
     args = ap.parse_args()
+    if args.platform:  # before any backend use (env vars are too late here)
+        jax.config.update("jax_platforms", args.platform)
+    PC.ITERS = args.iters
     b = args.batch
 
     cases = [
@@ -128,7 +98,7 @@ def main():
     ]
     for name, shape, f, x, w, flops in cases:
         try:
-            s = _time_scan(f, x, w, args.iters)
+            s = PC.timeit(f, x, w, vary=0)
         except Exception as e:  # one failed case must not kill the sweep
             print(json.dumps({"op": name, "shape": shape,
                               "error": str(e)[-200:]}), flush=True)

@@ -22,7 +22,6 @@ from __future__ import annotations
 import math
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Leaves below this many elements are replicated (a 128x128 matrix is the
