@@ -26,11 +26,20 @@ def main():
                         help="scaled-down model for smoke runs")
     parser.add_argument("--platform", default=None,
                         help="force jax platform (e.g. cpu)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize the JAX multi-host runtime "
+                             "(TPU pod / multi-slice; see "
+                             "parallel/distributed.py)")
     args, overrides = parser.parse_known_args()
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+
+    # before any backend use: after this, jax.devices() is the GLOBAL
+    # device list and the mesh helpers span the whole pod
+    from unirestore_tpu.parallel.distributed import init_distributed
+    init_distributed(force=args.distributed)
 
     import numpy as np
 

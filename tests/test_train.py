@@ -244,6 +244,16 @@ def test_fsdp_step_matches_replicated():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_distributed_helpers_single_process():
+    """Multi-host helpers must be exact no-ops in a single process: the
+    gated init does not touch the runtime, and the process-local slice is
+    the whole batch (parallel/distributed.py)."""
+    from unirestore_tpu.parallel import init_distributed, process_local_rows
+
+    assert init_distributed() is False  # no env gate, no force
+    assert process_local_rows(8) == slice(0, 8)
+
+
 def test_fsdp_spec_rules():
     """Sharding rule: largest mesh-divisible axis; small/indivisible leaves
     replicated; scalars untouched."""

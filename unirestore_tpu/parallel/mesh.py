@@ -52,8 +52,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
-    """Place host arrays as global device arrays sharded on the leading axis."""
+    """Place host arrays as global device arrays sharded on the leading axis.
+
+    Multi-host: every process materializes the same deterministic global
+    batch; each contributes its contiguous process-local row block via
+    ``jax.make_array_from_process_local_data`` (see parallel/distributed.py).
+    """
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        from .distributed import process_local_rows
+
+        def put(x):
+            local = x[process_local_rows(x.shape[0])]
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(local), x.shape)
+
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
