@@ -124,6 +124,13 @@ def _psnr_vs_exact(out: np.ndarray, exact_path: str) -> float | None:
 
 
 def main():
+    if os.environ.get("BENCH_PREFLIGHT") == "1":  # child: chip probe
+        y = jnp.ones((256, 256), jnp.bfloat16) @ jnp.ones(
+            (256, 256), jnp.bfloat16)
+        np.asarray(y)[0, 0]
+        print("PREFLIGHT_OK")
+        return
+
     mode = os.environ.get("BENCH_MODE")
     if mode:  # child: one mode per process (isolates the remote compiler)
         stride = {"none": 1, "encoder": 2, "deep": TURBO_STRIDE}[mode]
@@ -142,7 +149,7 @@ def main():
 
     import subprocess
 
-    def emit(results):
+    def emit(results, error=None):
         """Print the cumulative JSON line; re-emitted after every mode so
         the last stdout line is always a valid result even if an outer
         harness timeout kills the remaining modes."""
@@ -150,6 +157,7 @@ def main():
         label = {"none": "", "encoder": " [encoder propagation]",
                  "deep": f" [deep cache /{TURBO_STRIDE}]"}[PRIMARY]
         print(json.dumps({
+            **({"error": error} if error else {}),
             "metric": "512px restored images/sec/chip (20-step DDIM)"
                       + label,
             "value": round(primary, 3),
@@ -166,6 +174,33 @@ def main():
             "encoder_psnr_vs_exact": round(
                 results.get("encoder_psnr_vs_exact", 0.0), 2),
         }), flush=True)
+
+    # Preflight: one tiny matmul in a bounded subprocess. Without it, a
+    # down tunnel (the chip is reached through a remote-compile tunnel
+    # that has measured multi-hour outages) hangs EVERY mode subprocess to
+    # its full BENCH_MODE_TIMEOUT — 6 h of silence instead of a 20-min
+    # clear failure. Generous timeout x2 attempts: a trivial first compile
+    # through a merely BUSY tunnel can take minutes (CLAUDE.md).
+    if os.environ.get("BENCH_TINY") != "1":
+        pf_timeout = int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "600"))
+        for attempt in (1, 2):
+            try:
+                pf = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    capture_output=True, text=True, timeout=pf_timeout,
+                    env=dict(os.environ, BENCH_PREFLIGHT="1"))
+                if "PREFLIGHT_OK" in pf.stdout:
+                    break
+                print(f"# preflight attempt {attempt} failed:\n"
+                      f"{pf.stdout[-500:]}\n{pf.stderr[-500:]}",
+                      file=sys.stderr)
+            except subprocess.TimeoutExpired:
+                print(f"# preflight attempt {attempt} timed out "
+                      f"({pf_timeout}s)", file=sys.stderr)
+        else:
+            emit({}, error="tpu unreachable (preflight matmul failed "
+                           "twice; remote-compile tunnel down?)")
+            sys.exit(1)
 
     results = {}
     # per-run exact-output path: a stale file from an earlier run must
