@@ -205,3 +205,22 @@ def test_task_metric_merge_metrics():
     tmb.metrics["lq"]["psnr"].update(20.0)
     tma.merge_metrics(tmb)
     assert tma.compute_metrics("val") == {"val_lq/psnr": 25.0}
+
+
+def test_topk_accuracy_macro_semantics():
+    """Reference protocol: torchmetrics MulticlassAccuracy(top_k=1) with
+    its DEFAULT average="macro" — mean per-class recall over classes
+    present in the targets (eval_classification.py:278)."""
+    # class 0: 4/4 correct; class 1: 0/1 correct; classes 2..9 absent
+    logits = np.zeros((5, 10))
+    logits[:, 0] = 1.0  # argmax always predicts class 0
+    labels = np.array([0, 0, 0, 0, 1])
+
+    acc = M.TopKAccuracy(1)
+    acc.update(logits, labels)
+    assert acc.compute() == pytest.approx(0.5)  # (1.0 + 0.0) / 2
+    micro = M.TopKAccuracy(1, average="micro")
+    micro.update(logits, labels)
+    assert micro.compute() == pytest.approx(0.8)  # 4 / 5
+    acc.reset()
+    assert acc.compute() == 0.0

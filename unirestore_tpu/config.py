@@ -140,28 +140,49 @@ def build(cfg: dict, tiny: bool = False):
     d = cfg.get("data", {}).get("init_args", {})
     data = DatasetEngine(**d) if d else None
 
+    # Heavy eval networks (FID Inception, LPIPS, the ~8 neural IQA nets)
+    # are built ONCE and reused across validate() epochs — every metric
+    # resets its state in epoch_end, and rebuilding meant re-jitting the
+    # whole suite against the leaky remote compiler each epoch.
+    _eval_cache = {}
+
     def evaluator_factory(eng):
         restore = eng.restore_fn()
         if etype == "ir":
             import os
             save_dir = os.path.join(root, "dumps") \
                 if m.get("save_image") else None
+            eval_mode = m.get("eval_mode", "FR")
             fid = None
-            if m.get("compute_fid"):
-                from .evalx.fid import FID
-                from .evalx.inception import make_fid_extractor
-                extractor, dim = make_fid_extractor()
-                fid = {t: FID(extractor, dim) for t in
-                       (["lq"] if m.get("eval_mode") == "NR"
-                        else ["hq", "lq"])}
+            # FID is an FR-protocol metric: the reference builds it only
+            # for FR/ALL (eval_image_restoration.py:180-187); in NR mode
+            # there is no target to supply real features
+            if m.get("compute_fid") and eval_mode in ("FR", "ALL"):
+                if "fid" not in _eval_cache:
+                    from .evalx.fid import FID
+                    from .evalx.inception import make_fid_extractor
+                    extractor, dim = make_fid_extractor()
+                    _eval_cache["fid"] = {t: FID(extractor, dim)
+                                          for t in ("hq", "lq")}
+                fid = _eval_cache["fid"]
+            lpips_fn = None
+            if eval_mode in ("FR", "ALL"):
+                # the reference FR collection always includes LPIPS(alex)
+                # (eval_image_restoration.py:184)
+                if "lpips" not in _eval_cache:
+                    from .evalx.lpips import make_lpips
+                    _eval_cache["lpips"] = make_lpips()
+                lpips_fn = _eval_cache["lpips"]
             nr = None
-            if m.get("eval_mode") in ("NR", "ALL"):
-                from .evalx.nr_suite import build_nr_suite
-                nr = build_nr_suite(m.get("nr_metrics"))
+            if eval_mode in ("NR", "ALL"):
+                if "nr" not in _eval_cache:
+                    from .evalx.nr_suite import build_nr_suite
+                    _eval_cache["nr"] = build_nr_suite(m.get("nr_metrics"))
+                nr = _eval_cache["nr"]
             return EV.ImageRestorationEvaluator(
-                restore, eval_mode=m.get("eval_mode", "FR"),
+                restore, eval_mode=eval_mode,
                 need_crop=m.get("need_crop", True), save_dir=save_dir,
-                fid=fid, nr_metrics=nr)
+                lpips_fn=lpips_fn, fid=fid, nr_metrics=nr)
         if etype == "cls":
             from .tasks import classifier_zoo as CZ
 
@@ -195,8 +216,12 @@ def build(cfg: dict, tiny: bool = False):
             clf = jax.jit(lambda imgs: RN.resnet_apply(critics["cls"], imgs))
             seg = jax.jit(
                 lambda imgs: DLB.deeplabv3plus_apply(critics["seg"], imgs))
+            if "lpips" not in _eval_cache:
+                from .evalx.lpips import make_lpips
+                _eval_cache["lpips"] = make_lpips()
             return EV.MultiTaskEvaluator(
-                EV.ImageRestorationEvaluator(restore),
+                EV.ImageRestorationEvaluator(
+                    restore, lpips_fn=_eval_cache["lpips"]),
                 EV.ClassificationEvaluator(restore, {"r50v1": clf}),
                 EV.SemanticSegmentationEvaluator(restore, {"dlv3pr50": seg}))
         if etype == "det":

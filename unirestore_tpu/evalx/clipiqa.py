@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..nn import layers as L
 from ..ops.resize import resize_bicubic
+from ..tasks import resnet as RN
 
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
@@ -34,17 +35,10 @@ EMBED = 1024
 HEADS = 32
 
 
-def _bn_init(c):
-    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
-            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
-
-
-def _bn(p, x, eps=1e-5):
-    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
-    scale = (p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
-    shift = (p["bias"].astype(jnp.float32) - p["mean"].astype(jnp.float32)
-             * p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
-    return x * scale + shift
+# inference-mode BN shared with the frozen critic stack (same usage as
+# evalx/inception.py and evalx/nima.py)
+_bn_init = RN.bn_init
+_bn = RN.batch_norm
 
 
 def _cbn_init(key, cin, cout, k):

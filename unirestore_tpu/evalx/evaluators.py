@@ -153,6 +153,9 @@ class ImageRestorationEvaluator:
         if self.fid is not None:
             for etype, fid in self.fid.items():
                 out[f"{prefix}_{etype}/fid"] = fid.compute()
+                # fresh fake stats per epoch; real features stay cached
+                # (torchmetrics reset_real_features semantics, fid.py)
+                fid.reset(reset_real_features=False)
         for etype, metrics in self.nr.items():
             for name, m in metrics.items():
                 out[f"{prefix}_{etype}/{name}"] = float(m.compute())
@@ -224,7 +227,9 @@ class SemanticSegmentationEvaluator:
         self.save_dir = save_dir
         self.monitor = monitor or (next(iter(seg_models))
                                    if seg_models else None)
-        self.eval_types = ["hq", "lq"]
+        # the reference seg evaluator probes the restored LQ only
+        # (eval_semantic_segmentation.py:36: eval_types = ["lq"])
+        self.eval_types = ["lq"]
         self.task_metric = TaskMetric(self.eval_types)
         for name in seg_models:
             self.task_metric.add_metric(
@@ -344,7 +349,9 @@ class DetectionEvaluator:
             else [batch["gt"]]
         imgs = batch["lq"]
         pred = np.asarray(self.restore_fn(imgs, "det"), np.float32)
-        dets = self.detector_fn(np.clip(pred, 0, 1))
+        # uint8 quantization before the probe, like every other evaluator
+        # (eval_detection.py:74: mul(255).round_().clamp_().div_(255))
+        dets = self.detector_fn(M.quantize_preds(pred))
         self.map["lq"].update(dets, targets)
         self._save_det(pred, dets, batch.get("fname"))
 

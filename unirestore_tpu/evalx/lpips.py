@@ -77,3 +77,23 @@ def lpips_apply(p, x, y, normalize: bool = True):
         d = (na - nb) ** 2
         total = total + L.conv2d(lin, d, padding=0).mean(axis=(1, 2, 3))
     return total
+
+
+def make_lpips(params=None, key=None):
+    """Returns fn(pred, target) -> per-image LPIPS distances (numpy), the
+    ``lpips_fn`` the ImageRestorationEvaluator wires into the FR metric
+    collection (reference eval_image_restoration.py:184). Weights load
+    from weights/lpips_alex.npz (tools/convert_torchvision.py) with the
+    usual random-init fallback."""
+    if params is None:
+        from .. import zoo
+        params = lpips_init(key or jax.random.PRNGKey(13))
+        params, _ = zoo.load_npz_tree("lpips_alex", params)
+    fn = jax.jit(lambda x, y: lpips_apply(params, x, y, normalize=True))
+
+    def distance(pred, target):
+        import numpy as np
+        return np.asarray(fn(jnp.asarray(pred, jnp.float32),
+                             jnp.asarray(target, jnp.float32)))
+
+    return distance

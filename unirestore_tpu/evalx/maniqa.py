@@ -29,7 +29,10 @@ DEPTH = 12
 HEADS = 12
 PATCH = 8
 GRID = 224 // PATCH  # 28
-FEAT_LAYERS = (7, 8, 9, 10)  # blocks whose outputs are concatenated
+# 0-indexed block outputs concatenated by the official MANIQA
+# (IIGROUP/MANIQA models/maniqa.py extract_feature: save_output.outputs
+# [6][7][8][9] — the paper's 1-indexed blocks 7-10)
+FEAT_LAYERS = (6, 7, 8, 9)
 SWIN_HEADS = 4
 WINDOW = 4
 

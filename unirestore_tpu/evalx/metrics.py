@@ -122,25 +122,43 @@ class ConfusionIoU:
 
 
 class TopKAccuracy:
-    def __init__(self, k: int = 1):
+    """Top-k accuracy with torchmetrics ``MulticlassAccuracy`` semantics.
+
+    The reference wraps ``MulticlassAccuracy(num_classes, top_k=1)``
+    (eval_classification.py:278-282) whose DEFAULT average is "macro":
+    per-class recall averaged over the classes that appear in the targets
+    (torchmetrics 1.4 ``_adjust_weights_safe_divide`` weights classes by
+    support > 0). ``average="micro"`` gives plain correct/total.
+    """
+
+    def __init__(self, k: int = 1, average: str = "macro"):
         self.k = k
-        self.correct = 0
-        self.total = 0
+        self.average = average
+        self.reset()
 
     def update(self, logits: np.ndarray, labels: np.ndarray):
         topk = np.argsort(-logits, axis=-1)[:, :self.k]
-        self.correct += int((topk == labels[:, None]).any(axis=1).sum())
-        self.total += len(labels)
+        hit = (topk == labels[:, None]).any(axis=1)
+        for label, h in zip(labels.astype(int), hit):
+            c, t = self.per_class.get(int(label), (0, 0))
+            self.per_class[int(label)] = (c + int(h), t + 1)
 
     def compute(self):
-        return self.correct / max(self.total, 1)
+        if not self.per_class:
+            return 0.0
+        if self.average == "micro":
+            correct = sum(c for c, _ in self.per_class.values())
+            total = sum(t for _, t in self.per_class.values())
+            return correct / max(total, 1)
+        return float(np.mean([c / t for c, t in self.per_class.values()]))
 
     def reset(self):
-        self.correct = self.total = 0
+        self.per_class = {}  # label -> (correct, total)
 
     def merge(self, other: "TopKAccuracy"):
-        self.correct += other.correct
-        self.total += other.total
+        for label, (c, t) in other.per_class.items():
+            c0, t0 = self.per_class.get(label, (0, 0))
+            self.per_class[label] = (c0 + c, t0 + t)
 
 
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:

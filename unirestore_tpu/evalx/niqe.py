@@ -141,8 +141,17 @@ class NIQEMetric:
         self.total, self.count = 0.0, 0
 
     def update(self, images):
+        import warnings
         for img in images:
-            self.total += niqe(np.asarray(img), self.mu, self.cov)
+            try:
+                score = niqe(np.asarray(img), self.mu, self.cov)
+            except ValueError:
+                # sub-96px image: NIQE needs at least one 96x96 block
+                # (niqe_features). Skip-and-score-the-rest rather than
+                # aborting the whole validation epoch on one thumbnail.
+                warnings.warn("NIQE skipped an image smaller than 96px")
+                continue
+            self.total += score
             self.count += 1
 
     def compute(self):

@@ -167,7 +167,12 @@ def pca_features(gray, patch: int = 5, stride: int = 4, k: int = 10):
     sv = np.linalg.svd(mat, compute_uv=False)[:patch * patch]
     p = sv / max(sv.sum(), 1e-12)
     ent = float(-(p * np.log(p + 1e-12)).sum())
-    return np.concatenate([p[:k], [ent]])
+    # fewer than k singular values (tiny images yield min(n_patches, 25)):
+    # pad with zeros so the feature vector is always k+1-dim — the
+    # regression forests require a fixed input width
+    head = np.zeros(k)
+    head[:min(k, p.size)] = p[:k]
+    return np.concatenate([head, [ent]])
 
 
 def nrqm_features(image):
