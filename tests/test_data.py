@@ -216,3 +216,84 @@ def test_engine_noise_sigma_protocol(fixtures):
     # explicit null -> per-sample random choice over all three levels
     dl = engine(None).val_dataloader()
     assert dl.source.sigmas == [15, 25, 50]
+
+
+def test_infinite_mixture_fresh_augmentation_per_visit(fixtures):
+    """An infinite mixture stream must NOT pin the per-sample seed: each
+    revisit of the same image gets a fresh deterministic augmentation
+    (loader._draw counter — the whole-run seed is still reproducible)."""
+    ds = DS.IRCorruptDataset(ImageData(fixtures["DIVF2KOST"]["train"]),
+                             resolution=64, is_train=True)
+    mix = WeightedMixture([ds], weights=[1], seed=0)
+    dl = DataLoader(mix, batch_size=1, drop_last=True)
+    by_name = {}
+    fresh = 0
+    it = iter(dl)
+    for _ in range(12):
+        b = next(it)
+        name = b["fname"][0]
+        if name in by_name:
+            if not np.array_equal(by_name[name], b["lq"]):
+                fresh += 1
+        else:
+            by_name[name] = b["lq"]
+    assert fresh > 0, "revisits replayed bit-identical augmentation"
+    # reproducibility: a fresh identically-seeded loader yields the same
+    # stream
+    dl2 = DataLoader(WeightedMixture([ds], weights=[1], seed=0),
+                     batch_size=1, drop_last=True)
+    it2 = iter(dl2)
+    first = next(iter(DataLoader(WeightedMixture([ds], weights=[1], seed=0),
+                                 batch_size=1, drop_last=True)))
+    np.testing.assert_array_equal(next(it2)["lq"], first["lq"])
+
+
+def test_mixture_batches_are_task_homogeneous(fixtures):
+    """batch_size > 1 over a multi-task mixture: the dataset is drawn once
+    per batch, so batches never mix tasks (the reference pins batch_size 1
+    for MTL; task-grouped batches keep the mixture ratio in expectation
+    while staying one-jitted-step-per-task)."""
+    a = DS.IRCorruptDataset(ImageData(fixtures["DIVF2KOST"]["train"]),
+                            resolution=64)
+    b = DS.CLSCorruptDataset(ImageData(fixtures["ImageNet"]["train"]),
+                             resolution=64)
+    mix = WeightedMixture([a, b], weights=[1, 3], seed=0)
+    dl = DataLoader(mix, batch_size=4, drop_last=True)
+    tasks = []
+    it = iter(dl)
+    for _ in range(20):
+        tasks.append(next(it)["task"])  # collate raises on mixed batches
+    assert {"ir", "cls"} == set(tasks)  # both tasks appear
+
+
+def test_collate_rejects_mixed_tasks():
+    s = {"lq": np.zeros((4, 4, 3), np.float32), "hq": None, "gt": None,
+         "fname": "x"}
+    with pytest.raises(ValueError, match="mixed-task"):
+        collate([{**s, "task": "ir"}, {**s, "task": "cls"}])
+
+
+def test_shuffle_epoch_advances_on_early_break(fixtures):
+    ds = DS.IRPairDataset(ImageData(fixtures["DIVF2KOST"]["val"]),
+                          resolution=64, is_train=False)
+    dl = DataLoader(ds, batch_size=1, shuffle=True)
+    first_a = next(iter(dl))["fname"]  # break after one batch
+    orders = [first_a]
+    for _ in range(4):
+        orders.append(next(iter(dl))["fname"])
+    assert any(o != first_a for o in orders), \
+        "early-broken iteration replayed the identical shuffle order"
+
+
+def test_cityscapes_encode_ignores_out_of_range():
+    from unirestore_tpu.data.datasets import encode_cityscapes_target
+    mask = np.array([[0, 7, 33, 34, 255]], np.int64)
+    enc = encode_cityscapes_target(mask)
+    assert enc[0, 0] == 255 and enc[0, 1] == 0 and enc[0, 2] == 18
+    assert enc[0, 3] == 255 and enc[0, 4] == 255  # ignore, not 'bicycle'
+
+
+def test_unknown_crp_mode_fails_fast(fixtures):
+    with pytest.raises(ValueError, match="subset"):
+        DS.IRCorruptDataset(ImageData(fixtures["DIVF2KOST"]["train"]),
+                            resolution=64, crp_mode="wether")

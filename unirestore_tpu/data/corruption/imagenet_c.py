@@ -456,27 +456,33 @@ def corrupt(image: np.ndarray, severity: int = 1,
             rng: np.random.Generator | None = None) -> np.ndarray:
     """uint8 HWC in -> uint8 HWC out (same API as the reference dispatcher).
 
-    ``rng`` (optional) installs a per-sample Generator for this thread —
-    deterministic corruption under multi-threaded loaders."""
+    ``rng`` (optional) installs a per-sample Generator for this thread for
+    the duration of THIS call only — deterministic corruption under
+    multi-threaded loaders without leaking the generator into later
+    unrelated corrupt() calls on the same thread."""
     if rng is not None:
         set_rng(rng)
-    if image.dtype != np.uint8:
-        raise ValueError("expected uint8 image")
-    if image.ndim == 2:
-        image = np.stack([image] * 3, axis=-1)
-    if image.shape[-1] == 1:
-        image = np.repeat(image, 3, axis=-1)
-    if severity not in (1, 2, 3, 4, 5):
-        raise ValueError("severity must be in [1, 5]")
-    if corruption_name == "clean":
-        return image.copy()
-    if corruption_name is not None:
-        fn = _BY_NAME[corruption_name]
-    elif corruption_number >= 0:
-        fn = CORRUPTION_FUNCS[corruption_number]
-    else:
-        raise ValueError("need corruption_name or corruption_number")
-    return _to_uint8(fn(image, severity))
+    try:
+        if image.dtype != np.uint8:
+            raise ValueError("expected uint8 image")
+        if image.ndim == 2:
+            image = np.stack([image] * 3, axis=-1)
+        if image.shape[-1] == 1:
+            image = np.repeat(image, 3, axis=-1)
+        if severity not in (1, 2, 3, 4, 5):
+            raise ValueError("severity must be in [1, 5]")
+        if corruption_name == "clean":
+            return image.copy()
+        if corruption_name is not None:
+            fn = _BY_NAME[corruption_name]
+        elif corruption_number >= 0:
+            fn = CORRUPTION_FUNCS[corruption_number]
+        else:
+            raise ValueError("need corruption_name or corruption_number")
+        return _to_uint8(fn(image, severity))
+    finally:
+        if rng is not None:
+            set_rng(None)
 
 
 def init_corruption_function(subset: str = "common") -> list[str]:

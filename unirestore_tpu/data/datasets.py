@@ -99,9 +99,11 @@ class _Base:
         self.dataset = dataset
         self.resolution = resolution
         self.is_train = is_train
-        self.corruption_funcs = init_corruption_function(crp_mode) \
-            if crp_mode in ("common", "clean", "validation", "all", "noise",
-                            "blur", "weather", "digital") else []
+        # None = never corrupt; any string is validated by
+        # init_corruption_function (an unknown mode must fail HERE with a
+        # clear message, not as an opaque rng.integers(0, 0) in a worker)
+        self.corruption_funcs = ([] if crp_mode is None
+                                 else init_corruption_function(crp_mode))
         self.crp_mode = crp_mode
         self._seed = seed
 
@@ -283,8 +285,15 @@ CITYSCAPES_TRAIN_ID_TO_COLOR = np.array([
 ], dtype=np.uint8)
 
 
+# 256-entry LUT: ids 0-33 map per the Cityscapes table; anything else
+# (notably 255 in ACDC/trainId-format masks) is IGNORE (255), not clipped
+# onto id 33 ('bicycle')
+_CITYSCAPES_LUT = np.full(256, 255, np.uint8)
+_CITYSCAPES_LUT[:34] = CITYSCAPES_ID_TO_TRAIN_ID
+
+
 def encode_cityscapes_target(mask: np.ndarray) -> np.ndarray:
-    return CITYSCAPES_ID_TO_TRAIN_ID[np.clip(mask, 0, 33)]
+    return _CITYSCAPES_LUT[np.asarray(mask).astype(np.uint8)]
 
 
 def decode_cityscapes_target(train_ids: np.ndarray) -> np.ndarray:
@@ -305,7 +314,11 @@ class CityscapesCorruptDataset(_Base):
             fogs, hq_p, label_p = rec[:3], rec[3], rec[4]
             img_type = self.IMG_TYPES[int(rng.integers(0, 4))]
         else:
-            lq_p, hq_p, label_p = rec[0], rec[1], rec[2]
+            # 3-field rows: the manifest's lq path is intentionally unused
+            # — the reference's 4-field branch also randcorrupts a copy of
+            # the clean image (dataset_seg.py:146-161: img_type is always
+            # "randcorrupt" there, so lq = hq.clone())
+            _lq_p, hq_p, label_p = rec[0], rec[1], rec[2]
             fogs, img_type = None, "randcorrupt"
         import os
         fname = os.path.basename(hq_p)

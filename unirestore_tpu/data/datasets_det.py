@@ -92,7 +92,16 @@ def _aug_boxes(rng, hq, lq, label, resolution):
             return (np.ascontiguousarray(hq[i:i + ch, j:j + cw]),
                     np.ascontiguousarray(lq[i:i + ch, j:j + cw]),
                     {"boxes": clipped, "labels": label["labels"][keep]})
-    return hq[:resolution, :resolution], lq[:resolution, :resolution], label
+    # fallback (no random crop hit a box in 100 tries): take the top-left
+    # crop and apply the SAME filter+clip the loop applies — the raw label
+    # dict would leak boxes outside the crop (and hflip's shifted coords)
+    # into the training targets
+    keep = ((boxes[:, 0] < resolution) & (boxes[:, 1] < resolution)
+            & (boxes[:, 2] > 0) & (boxes[:, 3] > 0)
+            & (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1]))
+    clipped = np.clip(boxes[keep], 0, resolution).astype(np.float32)
+    return (hq[:resolution, :resolution], lq[:resolution, :resolution],
+            {"boxes": clipped, "labels": label["labels"][keep]})
 
 
 class CoCoCorruptDataset(_Base):

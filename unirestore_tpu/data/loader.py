@@ -16,29 +16,33 @@ class WeightedMixture:
 
     ``datasets`` with per-DATASET weights applied per-sample, exactly like
     the reference's per-sample weight lists [0.2, 10, 1]
-    (data/__init__.py:113-120).
+    (data/__init__.py:113-120). Sampling is two-stage — dataset by total
+    probability mass, then a uniform index — which is distribution-
+    identical to a flat per-sample draw (weights are constant within a
+    dataset) without rng.choice re-validating a ~1.3M-entry probability
+    vector on every sample.
     """
 
     def __init__(self, datasets, weights, seed: int = 0):
         self.datasets = list(datasets)
-        per_sample = np.concatenate([
-            np.full(len(d), w, np.float64)
-            for d, w in zip(self.datasets, weights)])
-        self.p = per_sample / per_sample.sum()
+        sizes = np.array([len(d) for d in self.datasets], np.float64)
+        mass = sizes * np.asarray(weights, np.float64)
+        self.p_dataset = mass / mass.sum()
         self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
         return int(self.offsets[-1])
 
-    def sample_index(self):
-        flat = int(self.rng.choice(len(self.p), p=self.p))
-        ds_idx = int(np.searchsorted(self.offsets, flat, side="right") - 1)
-        return ds_idx, flat - int(self.offsets[ds_idx])
+    def sample_dataset(self):
+        return int(self.rng.choice(len(self.datasets), p=self.p_dataset))
 
-    def get(self, epoch: int = 0):
-        ds_idx, local = self.sample_index()
-        return self.datasets[ds_idx].__getitem__(local, epoch=epoch)
+    def sample_in(self, ds_idx: int):
+        return int(self.rng.integers(len(self.datasets[ds_idx])))
+
+    def sample_index(self):
+        ds_idx = self.sample_dataset()
+        return ds_idx, self.sample_in(ds_idx)
 
 
 def collate(samples):
@@ -57,6 +61,10 @@ def collate(samples):
         else:
             out["gt"] = gt
     out["fname"] = [s["fname"] for s in samples]
+    tasks = {s["task"] for s in samples}
+    if len(tasks) > 1:  # batches must be task-homogeneous (one jitted
+        # step per task; the loader draws the dataset once per batch)
+        raise ValueError(f"mixed-task batch: {sorted(tasks)}")
     out["task"] = first["task"]
     return out
 
@@ -82,6 +90,12 @@ class DataLoader:
         self.seed = seed
         self.infinite = infinite or isinstance(source, WeightedMixture)
         self.epoch = 0
+        # monotone per-sample draw counter for mixture streams: each visit
+        # of a sample index gets a FRESH deterministic augmentation
+        # (passed as that sample's `epoch` seed component). Without it an
+        # infinite stream pins epoch=0 forever and every revisit replays
+        # the bit-identical crop/corruption for the whole training run.
+        self._draw = 0
 
     def __len__(self):
         n = len(self.source)
@@ -89,12 +103,7 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _fetch(self, idx):
-        if isinstance(self.source, WeightedMixture):
-            return self.source.get(self.epoch)
-        return self.source.__getitem__(idx, epoch=self.epoch)
-
-    def _index_stream(self):
+    def _index_stream(self, epoch: int):
         if self.infinite:
             while True:
                 yield -1
@@ -102,62 +111,81 @@ class DataLoader:
             n = len(self.source)
             order = np.arange(n)
             if self.shuffle:
-                np.random.default_rng(self.seed + self.epoch).shuffle(order)
+                np.random.default_rng(self.seed + epoch).shuffle(order)
             yield from order.tolist()
 
-    def __iter__(self):
-        if self.num_workers <= 0:
-            yield from self._iter_sync()
-        else:
-            yield from self._iter_threaded()
-        self.epoch += 1
+    def _draw_sample(self, idx, epoch, ds_for_batch=None):
+        """Resolve (dataset, local index, per-sample epoch seed)."""
+        if isinstance(self.source, WeightedMixture):
+            ds_idx = (self.source.sample_dataset()
+                      if ds_for_batch is None else ds_for_batch)
+            local = self.source.sample_in(ds_idx)
+            seed_epoch = self._draw
+            self._draw += 1
+            return self.source.datasets[ds_idx], local, seed_epoch, ds_idx
+        return self.source, idx, epoch, None
 
-    def _iter_sync(self):
+    def __iter__(self):
+        # the epoch is counted at ITERATOR CREATION: a consumer that
+        # breaks out early must not replay the identical shuffle order and
+        # augmentations on its next iteration
+        epoch = self.epoch
+        self.epoch += 1
+        if self.num_workers <= 0:
+            yield from self._iter_sync(epoch)
+        else:
+            yield from self._iter_threaded(epoch)
+
+    def _iter_sync(self, epoch):
         buf = []
-        for idx in self._index_stream():
-            buf.append(self._fetch(idx))
+        ds_for_batch = None
+        for idx in self._index_stream(epoch):
+            ds, local, e, ds_for_batch = self._draw_sample(
+                idx, epoch, ds_for_batch)
+            buf.append(ds.__getitem__(local, epoch=e))
             if len(buf) == self.batch_size:
                 yield collate(buf)
                 buf = []
+                ds_for_batch = None  # mixture: next batch redraws the task
         if buf and not self.drop_last:
             yield collate(buf)
 
-    def _iter_threaded(self):
+    def _iter_threaded(self, epoch):
         """True worker-pool prefetch: ``num_workers`` threads decode/corrupt
         samples concurrently (numpy/cv2 and the native corruption kernels
         release the GIL), batches are assembled in order. Sampling decisions
         (weighted draws / shuffle order) stay on the consumer thread, so the
         stream is identical to the synchronous iterator; per-sample work is
         deterministic via index-seeded RNGs (datasets.py ``_Base.rng``)."""
+        import collections
         from concurrent.futures import ThreadPoolExecutor
 
-        def draw(idx):
-            """Resolve the sample identity on this (consumer) thread."""
-            if isinstance(self.source, WeightedMixture):
-                ds_idx, local = self.source.sample_index()
-                return self.source.datasets[ds_idx], local
-            return self.source, idx
-
-        import collections
         depth = max(self.num_workers,
                     self.prefetch * max(1, self.batch_size))
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:
             futures: collections.deque = collections.deque()
-            stream = self._index_stream()
+            stream = self._index_stream(epoch)
             exhausted = False
+            submitted = 0
+            ds_for_batch = None
 
             def refill():
-                nonlocal exhausted
+                nonlocal exhausted, submitted, ds_for_batch
                 while not exhausted and len(futures) < depth:
                     try:
                         idx = next(stream)
                     except StopIteration:
                         exhausted = True
                         return
-                    ds, local = draw(idx)
+                    # batch boundary in SUBMISSION order == assembly order
+                    if submitted % self.batch_size == 0:
+                        ds_for_batch = None
+                    ds, local, e, ds_for_batch = self._draw_sample(
+                        idx, epoch, ds_for_batch)
                     futures.append(pool.submit(ds.__getitem__, local,
-                                               epoch=self.epoch))
+                                               epoch=e))
+                    submitted += 1
 
             refill()
             buf = []
