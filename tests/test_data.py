@@ -297,3 +297,18 @@ def test_unknown_crp_mode_fails_fast(fixtures):
     with pytest.raises(ValueError, match="subset"):
         DS.IRCorruptDataset(ImageData(fixtures["DIVF2KOST"]["train"]),
                             resolution=64, crp_mode="wether")
+
+
+def test_fog_level_crp_modes_construct(fixtures):
+    """fog1/2/3 are fog-LEVEL selectors (the seg foggy-val protocol,
+    engine.py val.type -> crp_mode), NOT corruption subsets — they must
+    construct and pick the matching fog variant from 5-field rows."""
+    for mode, want in (("fog1", 0), ("fog2", 1), ("fog3", 2)):
+        ds = DS.CityscapesPairDataset(
+            ImageData(fixtures["FoggyCityscapes"]["val"]),
+            resolution=64, is_train=False, crp_mode=mode)
+        assert ds.corruption_funcs == []
+        rec = ds.dataset[0]
+        if len(rec) == 5:  # fixture rows carry the 3 fog variants
+            s = ds[0]
+            assert s["task"] == "seg" and s["lq"].ndim == 3

@@ -98,8 +98,15 @@ def test_fid_real_feature_caching():
     fid.update(rng.normal(size=(16, 8, 1, 1)), real=False)
     fid.reset(reset_real_features=False)
     assert fid.real.n == 16 and fid.fake.n == 0
+    # real stats are FROZEN after a keep-real reset: the FID objects are
+    # shared across validate() epochs while validation_step re-feeds the
+    # targets each epoch — duplicates must not accumulate
+    fid.update(rng.normal(size=(16, 8, 1, 1)), real=True)
+    assert fid.real.n == 16
+    fid.update(rng.normal(size=(16, 8, 1, 1)), real=False)
+    assert fid.fake.n == 16  # fake path unaffected by the freeze
     fid.reset(reset_real_features=True)
-    assert fid.real.n == 0
+    assert fid.real.n == 0 and not fid.real_frozen
 
 
 def test_center_crop():

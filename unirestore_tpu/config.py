@@ -184,22 +184,24 @@ def build(cfg: dict, tiny: bool = False):
                 need_crop=m.get("need_crop", True), save_dir=save_dir,
                 lpips_fn=lpips_fn, fid=fid, nr_metrics=nr)
         if etype == "cls":
-            from .tasks import classifier_zoo as CZ
-
             # cls eval_mode selects the probe set (single/all/all_ft/CUB/
             # bare, eval_classification.py:36-48); monitor per :93-102.
             mode = m.get("eval_mode", "single")
-            zoo = CZ.build_classifier_zoo(mode)
+            if "cls_zoo" not in _eval_cache:
+                from .tasks import classifier_zoo as CZ
+                _eval_cache["cls_zoo"] = CZ.build_classifier_zoo(mode)
+            zoo = _eval_cache["cls_zoo"]
             monitor = {"all_ft": "r50v1_ft", "CUB": "cub_r50"}.get(
                 mode, "r50v1" if zoo else None)
             return EV.ClassificationEvaluator(restore, zoo, monitor=monitor)
         if etype == "seg":
-            from .tasks import seg_zoo as SZ
-
             # seg eval_mode selects the probe set (single/all/bare,
             # eval_semantic_segmentation.py:37-50); monitor rflwr101 (:102)
             mode = m.get("eval_mode", "single")
-            zoo = SZ.build_seg_zoo(mode)
+            if "seg_zoo" not in _eval_cache:
+                from .tasks import seg_zoo as SZ
+                _eval_cache["seg_zoo"] = SZ.build_seg_zoo(mode)
+            zoo = _eval_cache["seg_zoo"]
             import os
             return EV.SemanticSegmentationEvaluator(
                 restore, zoo,
@@ -207,15 +209,21 @@ def build(cfg: dict, tiny: bool = False):
                 save_dir=os.path.join(root, "dumps")
                 if m.get("save_image") else None)
         if etype == "mtl":
-            critics = eng.build_critics()
-            import jax
+            # critic nets + their jitted probes are epoch-invariant; fresh
+            # lambdas per epoch would never hit jit's cache and re-pay two
+            # large compiles against the leaky remote compiler every epoch
+            if "mtl_probes" not in _eval_cache:
+                critics = eng.build_critics()
+                import jax
 
-            from .tasks import deeplab as DLB
-            from .tasks import resnet as RN
-
-            clf = jax.jit(lambda imgs: RN.resnet_apply(critics["cls"], imgs))
-            seg = jax.jit(
-                lambda imgs: DLB.deeplabv3plus_apply(critics["seg"], imgs))
+                from .tasks import deeplab as DLB
+                from .tasks import resnet as RN
+                _eval_cache["mtl_probes"] = (
+                    jax.jit(lambda imgs: RN.resnet_apply(
+                        critics["cls"], imgs)),
+                    jax.jit(lambda imgs: DLB.deeplabv3plus_apply(
+                        critics["seg"], imgs)))
+            clf, seg = _eval_cache["mtl_probes"]
             if "lpips" not in _eval_cache:
                 from .evalx.lpips import make_lpips
                 _eval_cache["lpips"] = make_lpips()
@@ -225,7 +233,9 @@ def build(cfg: dict, tiny: bool = False):
                 EV.ClassificationEvaluator(restore, {"r50v1": clf}),
                 EV.SemanticSegmentationEvaluator(restore, {"dlv3pr50": seg}))
         if etype == "det":
-            critics = eng.build_critics()
+            if "det_critics" not in _eval_cache:
+                _eval_cache["det_critics"] = eng.build_critics()
+            critics = _eval_cache["det_critics"]
             if m.get("downstream") == "fastrcnn":
                 from .tasks import fasterrcnn as FRC
                 det = lambda imgs: FRC.fasterrcnn_detect(  # noqa: E731

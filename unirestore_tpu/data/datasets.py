@@ -99,11 +99,16 @@ class _Base:
         self.dataset = dataset
         self.resolution = resolution
         self.is_train = is_train
-        # None = never corrupt; any string is validated by
-        # init_corruption_function (an unknown mode must fail HERE with a
-        # clear message, not as an opaque rng.integers(0, 0) in a worker)
-        self.corruption_funcs = ([] if crp_mode is None
-                                 else init_corruption_function(crp_mode))
+        # None = never corrupt; fog1/2/3 are fog-LEVEL selectors consumed
+        # by the Cityscapes datasets (not corruption subsets; dataset_seg.py
+        # val protocol) and also mean "no random corruption". Any other
+        # string is validated by init_corruption_function: an unknown mode
+        # must fail HERE with a clear message, not as an opaque
+        # rng.integers(0, 0) in a worker.
+        if crp_mode is None or crp_mode in ("fog1", "fog2", "fog3"):
+            self.corruption_funcs = []
+        else:
+            self.corruption_funcs = init_corruption_function(crp_mode)
         self.crp_mode = crp_mode
         self._seed = seed
 

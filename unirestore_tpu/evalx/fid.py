@@ -61,8 +61,18 @@ class FID:
         self.extractor = extractor
         self.real = FIDStats(dim)
         self.fake = FIDStats(dim)
+        # After the first epoch's reset(reset_real_features=False), real
+        # stats are FROZEN: the FID objects are shared across validate()
+        # epochs (config._eval_cache) while validation_step feeds targets
+        # every epoch — without the freeze, each epoch re-adds a duplicate
+        # copy of the val set's real features (n grows k-fold, covariance
+        # rescales, FID drifts on an unchanged model). The reference gates
+        # this with _update_fid_real (eval_image_restoration.py:235-253).
+        self.real_frozen = False
 
     def update(self, images, real: bool):
+        if real and self.real_frozen:
+            return  # also skips the wasted Inception forward
         feats = np.asarray(self.extractor(images))
         (self.real if real else self.fake).update(feats)
 
@@ -75,3 +85,6 @@ class FID:
         self.fake.reset()
         if reset_real_features:
             self.real.reset()
+            self.real_frozen = False
+        else:
+            self.real_frozen = True

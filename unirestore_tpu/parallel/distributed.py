@@ -34,18 +34,28 @@ def init_distributed(force: bool = False) -> bool:
     run on single-chip and CPU test environments where initialize() would
     fail or hang, the call is gated: it runs when ``force`` is true, when
     ``UNIRESTORE_DISTRIBUTED=1``, or when an explicit coordinator is
-    configured via the standard JAX env vars
-    (``JAX_COORDINATOR_ADDRESS``/``COORDINATOR_ADDRESS``).
+    configured. Generic (non-TPU-metadata) clusters set
+    ``COORDINATOR_ADDRESS``/``PROCESS_ID``/``NUM_PROCESSES``; those are
+    passed to ``initialize()`` explicitly — JAX itself only auto-reads the
+    ``JAX_``-prefixed forms.
 
     Returns True when the distributed runtime was initialized.
     """
+    addr = os.environ.get("COORDINATOR_ADDRESS")
     want = (force
             or os.environ.get("UNIRESTORE_DISTRIBUTED") == "1"
             or os.environ.get("JAX_COORDINATOR_ADDRESS")
-            or os.environ.get("COORDINATOR_ADDRESS"))
+            or addr)
     if not want:
         return False
-    jax.distributed.initialize()
+    kw = {}
+    if addr and not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kw["coordinator_address"] = addr
+        if os.environ.get("PROCESS_ID"):
+            kw["process_id"] = int(os.environ["PROCESS_ID"])
+        if os.environ.get("NUM_PROCESSES"):
+            kw["num_processes"] = int(os.environ["NUM_PROCESSES"])
+    jax.distributed.initialize(**kw)
     print(f"[distributed] process {jax.process_index()}/"
           f"{jax.process_count()}, {jax.local_device_count()} local / "
           f"{jax.device_count()} global devices")
