@@ -554,6 +554,24 @@ def test_reference_yamls_build_unchanged(name):
         assert "det" in engine.cfg.tasks
 
 
+def test_evaluator_factory_shares_heavy_metric_nets():
+    """evaluator_factory is called once per validate() epoch; the heavy
+    eval networks (FID Inception, LPIPS) must be the SAME objects across
+    calls — rebuilding meant re-jitting the suite against the leaky remote
+    compiler every epoch, and fresh FID objects would lose the cached real
+    features (config._eval_cache)."""
+    from unirestore_tpu import config as C
+
+    cfg = {"model": {"class_path": "unirestore_tpu.ir",
+                     "init_args": {"compute_fid": True, "eval_mode": "FR",
+                                   "model_kwargs": {}}},
+           "trainer": {"max_steps": 1}}
+    engine, trainer, data, factory = C.build(cfg, tiny=True)
+    ev1, ev2 = factory(engine), factory(engine)
+    assert ev1.fid["lq"] is ev2.fid["lq"], "FID must persist across epochs"
+    assert ev1.lpips_fn is ev2.lpips_fn, "LPIPS must persist across epochs"
+
+
 def test_split_step_stop_after_leaves_state_untouched():
     """stop_after (the bench precompile hook) must return trainable and
     opt_state unchanged — it exists to compile sub-modules, never to

@@ -35,6 +35,19 @@ import profile_components as PC
 PEAK_TFLOPS = 197.0  # v5e bf16
 
 
+def tile_cap(m, k, n):
+    """Shape-intrinsic MXU utilization cap from pad-to-tile granularity.
+
+    The 128x128 systolic array consumes operands in 128-wide lane tiles on
+    the contraction (k) and output (n) dims (and 8-sublane tiles on m);
+    a dim that is not a multiple of 128 wastes the padded fraction of the
+    array regardless of blocking. E.g. the SD2.1 320-channel level:
+    k=n=320 -> (320/384)^2 = 69% cap — the measured in-situ linear MFU.
+    This is an upper bound (ignores pipeline drain, memory stalls)."""
+    pad = lambda d, t: d / (-(-d // t) * t)  # noqa: E731
+    return pad(m, 8) * pad(k, 128) * pad(n, 128)
+
+
 def conv_case(name, b, hw, cin, cout, k=3):
     x = jax.random.normal(jax.random.PRNGKey(0), (b, hw, hw, cin),
                           jnp.bfloat16)
@@ -49,7 +62,8 @@ def conv_case(name, b, hw, cin, cout, k=3):
             preferred_element_type=jnp.float32)
 
     flops = 2 * b * hw * hw * k * k * cin * cout
-    return name, f"{b}x{hw}^2x{cin}->{cout} k{k}", f, x, w, flops
+    cap = tile_cap(b * hw * hw, k * k * cin, cout)
+    return name, f"{b}x{hw}^2x{cin}->{cout} k{k}", f, x, w, flops, cap
 
 
 def linear_case(name, rows, cin, cout):
@@ -61,7 +75,8 @@ def linear_case(name, rows, cin, cout):
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     flops = 2 * rows * cin * cout
-    return name, f"({rows},{cin})@({cin},{cout})", f, x, w, flops
+    return (name, f"({rows},{cin})@({cin},{cout})", f, x, w, flops,
+            tile_cap(rows, cin, cout))
 
 
 def main():
@@ -96,7 +111,7 @@ def main():
         # cross-attention K/V from the (77, 1024) null embedding
         linear_case("xattn_kv_320", 77, 1024, 640),
     ]
-    for name, shape, f, x, w, flops in cases:
+    for name, shape, f, x, w, flops, cap in cases:
         try:
             s = PC.timeit(f, x, w, vary=0)
         except Exception as e:  # one failed case must not kill the sweep
@@ -104,10 +119,14 @@ def main():
                               "error": str(e)[-200:]}), flush=True)
             continue
         tfs = flops / s / 1e12
+        mfu = tfs / PEAK_TFLOPS
         print(json.dumps({
             "op": name, "shape": shape, "ms": round(s * 1e3, 3),
             "tflops": round(tfs, 1),
-            "mfu": round(tfs / PEAK_TFLOPS, 3),
+            "mfu": round(mfu, 3),
+            # pad-to-tile ceiling for this shape and how much of it we get
+            "tile_cap": round(cap, 3),
+            "of_cap": round(mfu / cap, 3),
         }), flush=True)
 
 
