@@ -235,3 +235,28 @@ def test_pi_clone_has_independent_nrqm_state():
     assert pi.nrqm.count == 1  # clone reset must not clear the original
     # empty NRQM falls back to the documented 5.0 stand-in, not 0.0
     assert clone.nrqm.compute() == 5.0
+
+
+def test_committed_nr_artifacts_enable_full_protocol(monkeypatch):
+    """A fresh clone computes the complete 10-metric NR protocol with no
+    hand steps: the committed weights/niqe_params.npz + nrqm_model.pkl
+    (tools/fit_nr_artifacts.py) must keep NIQEMetric off its
+    FileNotFoundError path and PI off its constant-NRQM fallback."""
+    repo_weights = os.path.join(os.path.dirname(__file__), "..", "weights")
+    monkeypatch.setenv("UNIRESTORE_WEIGHTS", repo_weights)
+    suite = NRS.build_nr_suite(["niqe", "pi"])
+    assert set(suite) == {"niqe", "pi"}
+    assert suite["pi"].nrqm is not None, "PI fell back to constant NRQM"
+
+    rng = np.random.default_rng(3)
+    sharp = np.clip(rng.uniform(0.2, 0.8, (1, 128, 128, 3))
+                    + 0.2 * rng.normal(size=(1, 128, 128, 3)), 0, 1)
+    for m in suite.values():
+        m.update(sharp.astype(np.float32))
+        assert np.isfinite(m.compute())
+    # the full default name list stays the reference's 10-metric protocol
+    full = ["clipiqa", "musiq", "musiq-ava", "musiq-paq2piq", "musiq-spaq",
+            "nima-koniq", "maniqa", "hyperiqa", "pi", "niqe"]
+    import inspect
+    src = inspect.getsource(NRS.build_nr_suite)
+    assert all(f'"{n}"' in src for n in full)
