@@ -470,6 +470,33 @@ def test_fit_resume_from_last_checkpoint(tmp_path):
     assert "[step 1]" not in p2.stdout  # did not restart from scratch
 
 
+@pytest.mark.slow
+def test_fit_stop_after_cache_warm(tmp_path):
+    """`--trainer.stop_after <phase> --trainer.max_steps 1` runs one
+    truncated split-step (compile-cache warming for the axon remote
+    compiler, one big XLA module per subprocess) and must NOT plant a
+    resume checkpoint — the truncated step never updates anything."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    smoke = tmp_path / "smoke"
+    env = dict(os.environ, JAX_PLATFORMS="")
+    subprocess.run([sys.executable,
+                    os.path.join(root, "tools", "make_smoke_data.py"),
+                    str(smoke)], check=True, cwd=root, env=env)
+
+    p = subprocess.run(
+        [sys.executable, os.path.join(root, "main.py"), "fit",
+         "--config", str(smoke / "smoke.yaml"), "--tiny",
+         "--platform", "cpu", "--trainer.max_steps", "1",
+         "--trainer.split_step", "true", "--trainer.stop_after", "fr"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "cache-warm pass" in p.stdout, p.stdout[-2000:]
+    assert not (smoke / "logs" / "checkpoints" / "last.npz").exists()
+
+
 def test_spatially_sharded_encode_matches_single_device():
     """2-D (data, spatial) mesh: sharding NHWC height across chips must be
     numerically transparent — GSPMD inserts the conv halo exchanges and

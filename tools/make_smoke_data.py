@@ -103,7 +103,7 @@ data:
   class_path: data.DatasetEngine
   init_args:
     task: ir
-    train: {{type: div2kost, resolution: {min(64, res)}, batch_size: 2}}
+    train: {{type: div2kost, resolution: {512 if res >= 576 else min(64, res)}, batch_size: 2}}
     val: {{type: val, val_list: [], batch_size: 1}}
     crp_mode: common
     num_workers: 0

@@ -135,6 +135,7 @@ def build(cfg: dict, tiny: bool = False):
         split_step=(None if t.get("split_step") is None
                     else bool(t.get("split_step"))),
         fsdp=bool(t.get("fsdp", False)),
+        stop_after=t.get("stop_after"),
     )
 
     d = cfg.get("data", {}).get("init_args", {})

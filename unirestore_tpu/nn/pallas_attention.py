@@ -45,9 +45,16 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, logit_scale: float):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p.astype(v.dtype), v,
-                            (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
+    # AV computed TRANSPOSED: o^T = v^T p^T puts the T-deep reduction on
+    # the contraction and the BQ-wide q block on the output lanes; d=64
+    # lands on the 8-sublane-tiled m dim (64 % 8 == 0, no pad waste). The
+    # direct orientation wastes half the MXU on its n=d=64 output lanes —
+    # measured 10% faster at T=4096 incl. the (D, BQ) relayout
+    # (tools/bench_attention.py avT vs base; PERF.md experiment log).
+    ot = jax.lax.dot_general(v, p.astype(v.dtype),
+                             (((1,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    o = ot.transpose(0, 2, 1)
     o_ref[...] = (o / l).astype(o_ref.dtype)
 
 

@@ -267,7 +267,8 @@ class Trainer:
                  profiler: str | None = None,
                  resume: str | bool | None = None,
                  split_step: bool | None = None,
-                 fsdp: bool = False):
+                 fsdp: bool = False,
+                 stop_after: str | None = None):
         self.max_steps = max_steps
         # restart-based recovery (Lightning ckpt_path resume): True/"auto"
         # resumes from <root>/checkpoints/last.npz when present; a path
@@ -283,6 +284,15 @@ class Trainer:
             import jax as _jax
             split_step = _jax.default_backend() == "axon"
         self.split_step = split_step
+        # compile-cache warming (axon remote compiler leak, CLAUDE.md):
+        # `--trainer.stop_after shared|fr|cn|te --trainer.max_steps 1`
+        # truncates the split step after ONE sub-module so each big XLA
+        # module compiles in its own `main.py fit` subprocess into the
+        # persistent cache; the real fit then starts warm. Explicit config,
+        # never ambient (steps.py design note); no checkpoint is written.
+        if stop_after is not None and not split_step:
+            raise ValueError("trainer.stop_after requires split_step")
+        self.stop_after = stop_after
         # FSDP (ZeRO-3) placement: shard trainable/frozen/optimizer state
         # over the data axis instead of replicating (parallel/fsdp.py);
         # GSPMD gathers weights just-in-time and reduce-scatters grads
@@ -373,11 +383,15 @@ class Trainer:
 
         def get_step(task):
             if task not in steps_by_task:
-                maker = (ST.make_split_train_step if self.split_step
-                         else ST.make_train_step)
-                steps_by_task[task] = maker(
-                    frozen, engine.cfg, engine.sched, engine.stage, tx, task,
-                    te_loss_fn=te_fn, donate=True)
+                if self.split_step:
+                    steps_by_task[task] = ST.make_split_train_step(
+                        frozen, engine.cfg, engine.sched, engine.stage, tx,
+                        task, te_loss_fn=te_fn, donate=True,
+                        stop_after=self.stop_after)
+                else:
+                    steps_by_task[task] = ST.make_train_step(
+                        frozen, engine.cfg, engine.sched, engine.stage, tx,
+                        task, te_loss_fn=te_fn, donate=True)
             return steps_by_task[task]
 
         # sanity validation before fit (Lightning num_sanity_val_steps,
@@ -458,6 +472,12 @@ class Trainer:
                     os.path.join(self.root, "checkpoints", "last.npz"),
                     engine.trainable, step, opt_state=opt_state)
         engine.trainable = jax.tree.map(np.asarray, trainable)
+        if self.stop_after:
+            # cache-warming run: the truncated step never updated anything;
+            # writing last.npz would plant a bogus resume point
+            print(f"[fit] stop_after={self.stop_after} cache-warm pass "
+                  f"done at step {step}; no checkpoint written")
+            return engine
         final = os.path.join(self.root, "checkpoints", "last.npz")
         CKPT.save_checkpoint(final, engine.trainable, step,
                              opt_state=opt_state)
