@@ -70,11 +70,15 @@ def _check(tree, out):
 
 def test_vae_converter_covers_tree():
     import jax
-    tree = VAE.vae_init(jax.random.PRNGKey(0), VAE.VAEConfig())
+    # key-set check only: eval_shape builds the full-size tree structure
+    # without materializing (or compiling) the 80M-param init on 1 vCPU
+    tree = jax.eval_shape(
+        lambda k: VAE.vae_init(k, VAE.VAEConfig()), jax.random.PRNGKey(0))
     _check(tree, CST.convert_vae(FakeSD()))
 
 
 def test_unet_converter_covers_tree():
     import jax
-    tree = UN.unet_init(jax.random.PRNGKey(0), UN.UNetConfig())
+    tree = jax.eval_shape(
+        lambda k: UN.unet_init(k, UN.UNetConfig()), jax.random.PRNGKey(0))
     _check(tree, CST.convert_unet(FakeSD()))

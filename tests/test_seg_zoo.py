@@ -90,15 +90,25 @@ def test_convert_refinenet_covers_tree():
     assert not extra, f"converter emits unknown {sorted(extra)[:10]}"
 
 
-def test_deeplab_factory_variants():
+# the head wiring under test is backbone-independent; the resnet50 pair
+# stays in the fast tier, and the non-resnet backbones (whose feature
+# contracts have their own fast tests below) pay their init+apply compile
+# only in the slow tier on this 1-vCPU box
+@pytest.mark.parametrize("names", [
+    ("deeplabv3plus_resnet50", "deeplabv3_resnet50"),
+    pytest.param(("deeplabv3plus_mobilenet", "deeplabv3_mobilenet"),
+                 marks=pytest.mark.slow),
+    pytest.param(("deeplabv3plus_xception", "deeplabv3_xception"),
+                 marks=pytest.mark.slow),
+    pytest.param(("deeplabv3plus_hrnetv2_32", "deeplabv3_hrnetv2_48"),
+                 marks=pytest.mark.slow),
+])
+def test_deeplab_factory_variants(names):
     """modeling.py factory parity: plus/plain x {resnet50, mobilenet,
-    xception} all produce logits at input resolution."""
+    xception, hrnetv2} all produce logits at input resolution."""
     from unirestore_tpu.tasks import deeplab as DLB
     x = jnp.ones((1, 32, 32, 3)) * 0.5
-    for name in ("deeplabv3plus_resnet50", "deeplabv3_resnet50",
-                 "deeplabv3plus_mobilenet", "deeplabv3_mobilenet",
-                 "deeplabv3plus_xception", "deeplabv3_xception",
-                 "deeplabv3plus_hrnetv2_32", "deeplabv3_hrnetv2_48"):
+    for name in names:
         init_fn, apply_fn = DLB.deeplab_factory(name)
         p = init_fn(jax.random.PRNGKey(0))
         logits = apply_fn(p, x)

@@ -275,7 +275,95 @@ def time_fn(f, q, k, v):
     return best
 
 
+# -- projection-chain experiment (the "inter-op copies" bucket) --------------
+# PERF.md attributes ~2.8 ms/step to inter-op copies; the prime suspects are
+# the head-major relayouts around attention: einsum("btc,chd->bhtd") on the
+# way in and ("bhtd,hdc->btc") on the way out. The hslice variant removes
+# every bhtd intermediate: plain (B,T,C)@(C,I) projections, and the kernel
+# grid head-slices the 64-wide lane windows straight out of (B, T, I).
+
+CHAIN_SHAPES = [  # (name, B, T, heads, C): 512px batch-8 UNet levels
+    ("lvl0", 8, 4096, 5, 320),
+    ("lvl1", 8, 1024, 10, 640),
+    ("lvl2", 8, 256, 20, 1280),
+]
+
+
+def _hslice_attention(q, k, v):
+    """(B, T, I) self-attention, heads sliced by BlockSpec: block (1,BQ,64)
+    at lane offset h*64 — no (B,H,T,D) relayout anywhere."""
+    b, t, inner = q.shape
+    d = 64
+    h = inner // d
+    bq = min(t, 256)
+    grid = (b, h, t // bq)
+    q_spec = pl.BlockSpec((1, bq, d), lambda bi, hi, qi: (bi, qi, hi))
+    kv_spec = pl.BlockSpec((1, t, d), lambda bi, hi, qi: (bi, 0, hi))
+    return pl.pallas_call(
+        functools.partial(PA._kernel, logit_scale=1.0),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, inner), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+    )(q, k, v)
+
+
+def chain_variants(b, t, h, c):
+    d = 64
+    inner = h * d
+
+    def base(x, wq, wk, wv, wo):
+        # the production path (nn/attention.py): head-major projections,
+        # (BH, T, D) kernel, head-major out-projection
+        def proj(w):
+            y = jnp.einsum("btc,chd->bhtd", x, w.reshape(c, h, d))
+            return y.reshape(b * h, t, d)
+        ob = PA._fused_raw_bh(proj(wq), proj(wk), proj(wv), 1.0,
+                              prescaled=True)
+        ob = ob.reshape(b, h, t, d)
+        return jnp.einsum("bhtd,hdc->btc", ob, wo.reshape(h, d, c))
+
+    def hslice(x, wq, wk, wv, wo):
+        q, k, v = x @ wq, x @ wk, x @ wv          # (B, T, I), no relayout
+        o = _hslice_attention(q, k, v)
+        return o @ wo.reshape(inner, c)
+
+    return {"chain_base": base, "chain_hslice": hslice}
+
+
+def chain_main():
+    rng = np.random.default_rng(0)
+    for name, b, t, h, c in CHAIN_SHAPES:
+        inner = h * 64
+        x = jnp.asarray(rng.normal(size=(b, t, c)) * 0.3, jnp.bfloat16)
+        ws = [jnp.asarray(rng.normal(size=(c, inner)) * c ** -0.5,
+                          jnp.bfloat16) for _ in range(3)]
+        wo = jnp.asarray(rng.normal(size=(inner, c)) * inner ** -0.5,
+                         jnp.bfloat16)
+        print(f"== chain {name}: B={b} T={t} H={h} C={c}", flush=True)
+        ref = None
+        for vname, f in chain_variants(b, t, h, c).items():
+            g = lambda x_, f_=f: f_(x_, *ws, wo)
+            try:
+                ms = time_fn(lambda q, k, v: g(q), x, x, x) * 1e3
+            except Exception as e:
+                print(f"  {vname:14s}  FAILED: {str(e)[:100]}", flush=True)
+                continue
+            got = np.asarray(jax.jit(g)(x), np.float32)
+            if ref is None:
+                ref, err = got, 0.0
+            else:
+                err = float(np.abs(got - ref).max())
+            print(f"  {vname:14s}  {ms:7.3f} ms  maxerr {err:.2e}",
+                  flush=True)
+
+
 def main():
+    if os.environ.get("ATTN_CHAIN") == "1":
+        chain_main()
+        return
     only = os.environ.get("ATTN_VARIANTS")
     only = set(only.split(",")) if only else None
     shapes_only = os.environ.get("ATTN_SHAPES")
