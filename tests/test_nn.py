@@ -224,6 +224,53 @@ def test_fused_attention_gradients():
                                rtol=2e-2)
 
 
+def test_btc_attention_matches_reference():
+    """Channel-flat (B, T, H*D) kernel (interpret mode): in-kernel head
+    slicing + prescaled exp2 softmax must equal plain multi-head
+    softmax(q k^T scale) v, forward and (custom-VJP) gradients."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unirestore_tpu.nn import pallas_attention as PA
+
+    b, t, h, d = 2, 256, 2, 64
+    inner = h * d
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, t, inner), jnp.float32)
+    k = jax.random.normal(ks[1], (b, t, inner), jnp.float32)
+    v = jax.random.normal(ks[2], (b, t, inner), jnp.float32)
+    scale = d ** -0.5
+    q_pre = q * (scale * PA._LOG2E)
+    ours = PA._fused_raw_btc(q_pre, k, v, d, interpret=True)
+    ref = PA._xla_reference_btc(q, k, v, scale, d)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+    # gradient path: interpret-mode diffable must match the XLA reference
+    f = PA._make_diffable_btc(functools.partial(PA._fused_raw_btc,
+                                                interpret=True))
+
+    def loss_pallas(qp):
+        return (f(qp, k, v, d) ** 2).sum()
+
+    def loss_ref(qp):
+        return (PA._xla_reference_btc(qp, k, v, PA._LN2, d) ** 2).sum()
+
+    g1 = jax.grad(loss_pallas)(q_pre)
+    g2 = jax.grad(loss_ref)(q_pre)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-2,
+                               rtol=2e-2)
+
+    # routing predicate: flat-layout path only where it measured faster
+    assert PA.btc_supported(4096, 4096, 320, 64)
+    assert PA.btc_supported(1024, 1024, 640, 64)
+    assert not PA.btc_supported(256, 256, 1280, 64)   # head-major wins
+    assert not PA.btc_supported(4096, 77, 320, 64)    # cross-attention
+    assert not PA.btc_supported(4096, 4096, 512, 512)  # VAE wide head
+
+
 def test_chunked_train_attention_matches_unchunked():
     """The training-path query-chunked attention (Rabe-Staats lax.map over
     query blocks, attention.py:_chunked_attention) must be numerically

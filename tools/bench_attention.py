@@ -290,24 +290,12 @@ CHAIN_SHAPES = [  # (name, B, T, heads, C): 512px batch-8 UNet levels
 
 
 def _hslice_attention(q, k, v):
-    """(B, T, I) self-attention, heads sliced by BlockSpec: block (1,BQ,64)
-    at lane offset h*64 — no (B,H,T,D) relayout anywhere."""
-    b, t, inner = q.shape
-    d = 64
-    h = inner // d
-    bq = min(t, 256)
-    grid = (b, h, t // bq)
-    q_spec = pl.BlockSpec((1, bq, d), lambda bi, hi, qi: (bi, qi, hi))
-    kv_spec = pl.BlockSpec((1, t, d), lambda bi, hi, qi: (bi, 0, hi))
-    return pl.pallas_call(
-        functools.partial(PA._kernel, logit_scale=1.0),
-        grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, t, inner), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
-    )(q, k, v)
+    """(B, T, I) self-attention with NO (B,H,T,D) relayout anywhere —
+    this experiment WON (−13% at lvl0 incl. projections, PERF.md) and was
+    promoted to production as ``PA._fused_raw_btc`` (in-kernel static
+    64-lane head windows; a 64-wide BlockSpec lane block is not
+    lowerable, full-I blocks are)."""
+    return PA._fused_raw_btc(q, k, v, 64)
 
 
 def chain_variants(b, t, h, c):

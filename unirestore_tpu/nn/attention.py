@@ -96,6 +96,18 @@ def _use_fused(t: int, s: int, dim_head: int) -> bool:
     return PA.supported(t, s, dim_head)
 
 
+def _use_btc(t: int, s: int, inner: int, dim_head: int) -> bool:
+    """Within the fused-kernel shapes, the T >= 1024 levels run the
+    channel-flat (B, T, inner) kernel (no head-major relayout; measured
+    faster there, slower at T=256 — pallas_attention.py module comment).
+    Knob: UNIRESTORE_DISABLE_BTC_ATTN=1 reverts to the head-major path."""
+    import os
+    if os.environ.get("UNIRESTORE_DISABLE_BTC_ATTN") == "1":
+        return False
+    from . import pallas_attention as PA
+    return PA.btc_supported(t, s, inner, dim_head)
+
+
 def _use_streaming(t: int, s: int, dim_head: int) -> bool:
     """Wide-head self-attention (VAE mid block: one 512-d head at 4096
     tokens) goes through the online-softmax K/V-streaming kernel."""
@@ -189,6 +201,21 @@ def mha(p, x, context=None, heads: int = 8):
     scale = float(dim_head) ** -0.5
 
     use_fused = _use_fused(t, s, dim_head)
+    if use_fused and _use_btc(t, s, inner, dim_head):
+        # channel-flat kernel: plain (B, T, C) @ (C, inner) projections,
+        # heads sliced inside the kernel — removes every head-major
+        # relayout copy (measured -13% at T=4096 incl. projections,
+        # tools/bench_attention.py ATTN_CHAIN=1).
+        from .pallas_attention import _LOG2E, fused_attention_btc_prescaled
+        scale_gain = jnp.asarray(scale * _LOG2E, x.dtype)
+        pq = p["to_q"]
+        qf = x @ (pq["w"].astype(x.dtype) * scale_gain)
+        if "b" in pq:
+            qf = qf + pq["b"].astype(x.dtype) * scale_gain
+        kf = L.linear(p["to_k"], ctx)
+        vf = L.linear(p["to_v"], ctx)
+        of = fused_attention_btc_prescaled(qf, kf, vf, dim_head)
+        return L.linear(p["to_out"], of)
     use_streaming = not use_fused and _use_streaming(t, s, dim_head)
     if use_fused or use_streaming:
         from .pallas_attention import (_LOG2E,

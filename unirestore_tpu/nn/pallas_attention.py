@@ -201,6 +201,72 @@ def _fused_raw(q, k, v, scale: float, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# channel-flat (B, T, H*D) kernel — no head-major relayout anywhere
+# ---------------------------------------------------------------------------
+# The bh path above needs head-major activations, which the projections
+# emit via a "btc,chd->bhtd" einsum (the transpose rides inside the matmul
+# output write) — but that output layout still costs XLA inter-op copies
+# around the kernel. This variant keeps q/k/v in the projections' NATIVE
+# (B, T, inner) layout: grid blocks span the full inner lanes and the
+# kernel statically loops the 64-wide head windows (a 64-wide BlockSpec
+# block is not lowerable — Pallas wants lane blocks divisible by 128
+# unless they span the array dim). Measured on v5e (tools/bench_attention
+# ATTN_CHAIN=1, proj->attn->out chains): -13% at T=4096/C=320, -3% at
+# T=1024/C=640, +11% at T=256/C=1280 — routed for T >= _BTC_MIN_SEQ only.
+
+_BTC_MIN_SEQ = 1024
+
+
+def _btc_kernel(q_ref, k_ref, v_ref, o_ref, *, h: int, d: int):
+    """Inner math identical to ``_kernel`` (exp2 softmax, transposed AV),
+    once per 64-lane head window. Prescaled-q only (logit_scale folded
+    into the q projection upstream)."""
+    for hi in range(h):
+        sl = slice(hi * d, (hi + 1) * d)
+        q = q_ref[0, :, sl]  # (BQ, D)
+        k = k_ref[0, :, sl]  # (T, D)
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ot = jax.lax.dot_general(v, p.astype(v.dtype),
+                                 (((0,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (ot.T / l).astype(o_ref.dtype)
+
+
+def btc_supported(t: int, s: int, inner: int, dim_head: int) -> bool:
+    """Self-attention shapes routed through the channel-flat kernel: the
+    UNet's T>=1024 levels with 64-d heads (where it measures faster than
+    the head-major path — see module comment)."""
+    return (t == s and t >= _BTC_MIN_SEQ and t % 256 == 0
+            and dim_head == 64 and inner % 64 == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("dim_head", "interpret"))
+def _fused_raw_btc(q, k, v, dim_head: int = 64, interpret: bool = False):
+    """q, k, v: (B, T, inner) -> (B, T, inner), q pre-scaled upstream."""
+    b, t, inner = q.shape
+    h = inner // dim_head
+    bq = min(t, 256)
+    grid = (b, t // bq)
+    q_spec = pl.BlockSpec((1, bq, inner), lambda bi, qi: (bi, qi, 0))
+    kv_spec = pl.BlockSpec((1, t, inner), lambda bi, qi: (bi, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_btc_kernel, h=h, d=dim_head),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, inner), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
 # autodiff: Pallas forward, XLA-graph backward
 # ---------------------------------------------------------------------------
 # Training differentiates THROUGH the frozen UNet/VAE attention (CFRM /
@@ -275,6 +341,47 @@ _fused_diffable_bh_prescaled = _make_diffable_bh(
     lambda q, k, v, scale: _fused_raw_bh(q, k, v, scale, prescaled=True))
 _streaming_diffable_bh_prescaled = _make_diffable_bh(
     lambda q, k, v, scale: _streaming_raw_bh(q, k, v, scale, prescaled=True))
+
+
+def _xla_reference_btc(q, k, v, scale: float, dim_head: int = 64):
+    b, t, inner = q.shape
+    h = inner // dim_head
+    qh = q.reshape(b, t, h, dim_head)
+    kh = k.reshape(b, t, h, dim_head)
+    vh = v.reshape(b, t, h, dim_head)
+    return _xla_reference(qh, kh, vh, scale).reshape(b, t, inner)
+
+
+def _make_diffable_btc(raw):
+    """custom_vjp over a prescaled (B, T, inner) forward: Pallas forward,
+    XLA-graph backward (scale ln 2 — softmax_e(x ln2) == softmax_2(x))."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def f(q, k, v, dim_head):
+        return raw(q, k, v, dim_head)
+
+    def fwd(q, k, v, dim_head):
+        return raw(q, k, v, dim_head), (q, k, v)
+
+    def bwd(dim_head, res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(
+            lambda a, b, c: _xla_reference_btc(a, b, c, _LN2, dim_head),
+            q, k, v)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_fused_diffable_btc_prescaled = _make_diffable_btc(_fused_raw_btc)
+
+
+def fused_attention_btc_prescaled(q, k, v, dim_head: int = 64):
+    """(B, T, inner) entry, q pre-scaled by (softmax_scale * log2 e):
+    the projections' native channel-flat layout goes straight into the
+    kernel — no head-major relayout on either side."""
+    return _fused_diffable_btc_prescaled(q, k, v, dim_head)
 
 
 def fused_attention(q, k, v, scale: float, interpret: bool = False):
