@@ -86,8 +86,32 @@ def chain_im2col(x, ws, gn):
     return x
 
 
+def _taps_conv(x, w):
+    """Conv as 9 accumulated shifted matmuls: each tap is a full-width
+    (BHW, cin) @ (cin, cout) GEMM — tests whether 9 independent
+    128-lane-friendly GEMMs beat XLA's native conv lowering, without
+    im2col's 9x patch materialization."""
+    b, h, wd, cin = x.shape
+    k = w.shape[0]
+    cout = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for dy in range(k):
+        for dx in range(k):
+            xs = xp[:, dy:dy + h, dx:dx + wd, :].reshape(b * h * wd, cin)
+            y = xs @ w[dy, dx]
+            out = y if out is None else out + y
+    return out.reshape(b, h, wd, cout)
+
+
+def chain_taps(x, ws, gn):
+    for w in ws:
+        x = _taps_conv(x, w)
+    return x
+
+
 VARIANTS = {"conv": chain_conv, "resblock": chain_resblock,
-            "im2col": chain_im2col}
+            "im2col": chain_im2col, "taps": chain_taps}
 
 
 def main():
@@ -117,7 +141,7 @@ def main():
                              np.float32)
             if vname == "conv":
                 ref, err = got, 0.0
-            elif vname == "im2col" and ref is not None:
+            elif vname in ("im2col", "taps") and ref is not None:
                 err = float(np.abs(got - ref).max()
                             / max(np.abs(ref).max(), 1e-6))
             else:
