@@ -1,0 +1,145 @@
+"""Grouped-conv lowering experiment for the CFRM AdaNAFV2 3x3 (groups=16).
+
+Production (models/cfrm.py:_dense_grouped_conv) expands the grouped kernel
+to a dense block-diagonal one because XLA's feature_group_count=16
+lowering measured ~11% MXU + ~10 ms of relayout copies — but the dense
+form pays 16x the FLOPs (2.47 TF per AdaNAF stage at 512px). This
+harness measures every intermediate lowering at the three CFRM stage
+shapes to find the cheapest CORRECT one:
+
+  dense     block-diagonal dense conv (current production; 16x FLOPs)
+  native    feature_group_count=16 (true FLOPs, known-bad lowering)
+  dense4    feature_group_count=4 with 4-group block-diag kernels
+            (4x FLOPs; grouped lowering with 4x wider per-group channels)
+  loop16    16 separate dense convs, concatenated (true FLOPs; per-group
+            cin/cout of 32/64/128 pad the 128-lane tile at stages 1/2)
+  bgc       group-to-batch reshape + batch_group_count=16 conv (true
+            FLOPs, one conv op, per-group kernels ride the batch dim)
+
+MFU is computed against the TRUE grouped FLOPs for every variant, so the
+dense rows show effective utilization (98% MXU / 16 = ~6% effective).
+
+Usage: python tools/bench_grouped.py  [GROUPED_STAGES=s1,s2,s3]
+"""
+
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import profile_components as PC
+from unirestore_tpu.models.cfrm import GROUPS, _block_diag_kernel
+
+PEAK_TFLOPS = 197.0
+
+# CFRM AdaNAFV2 stage shapes at 512px batch 8: dw = 4*c on the /2, /4, /8
+# feature maps (reference autoencoder.py:92-98, channels 128/256/512)
+STAGES = [("s1", 256, 512), ("s2", 128, 1024), ("s3", 64, 2048)]
+
+
+def _conv(x, w, groups=1, batch_groups=1):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups, batch_group_count=batch_groups)
+
+
+def v_dense(x, w):
+    return _conv(x, _block_diag_kernel(w, GROUPS))
+
+
+def v_native(x, w):
+    return _conv(x, w, groups=GROUPS)
+
+
+def _super_block_kernel(w, groups: int, super_g: int):
+    """Block-diag expand within supergroups: (3,3,cg,cout) grouped-16
+    kernel -> (3,3, cg*fold, cout) grouped-`super_g` kernel."""
+    kh, kw, cg, cout = w.shape
+    fold = groups // super_g
+    cgo = cout // groups
+    dense = jnp.zeros((kh, kw, cg * fold, cout), w.dtype)
+    for g in range(groups):
+        lo = (g % fold) * cg
+        dense = dense.at[:, :, lo:lo + cg, g * cgo:(g + 1) * cgo].set(
+            w[:, :, :, g * cgo:(g + 1) * cgo])
+    return dense
+
+
+def v_dense4(x, w):
+    return _conv(x, _super_block_kernel(w, GROUPS, 4), groups=4)
+
+
+def v_loop16(x, w):
+    b, h, wd, c = x.shape
+    cg = c // GROUPS
+    cgo = w.shape[-1] // GROUPS
+    outs = [
+        _conv(x[..., g * cg:(g + 1) * cg],
+              w[:, :, :, g * cgo:(g + 1) * cgo])
+        for g in range(GROUPS)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def v_bgc(x, w):
+    """Groups -> batch: x (B,H,W,G*cg) -> (G*B,H,W,cg); per-group kernels
+    stacked on the output-channel dim with batch_group_count=G."""
+    b, h, wd, c = x.shape
+    cg = c // GROUPS
+    cgo = w.shape[-1] // GROUPS
+    xg = (x.reshape(b, h, wd, GROUPS, cg)
+           .transpose(3, 0, 1, 2, 4)
+           .reshape(GROUPS * b, h, wd, cg))
+    # batch_group_count semantics: the (G*B) batch is split into G
+    # consecutive groups and output-channel group g convolves ONLY batch
+    # group g — the output comes back as (B, H, W, G*cgo), which is
+    # already the grouped-conv result in group-major channel order.
+    return _conv(xg, w, batch_groups=GROUPS)
+
+
+VARIANTS = {"dense": v_dense, "native": v_native, "dense4": v_dense4,
+            "loop16": v_loop16, "bgc": v_bgc}
+
+
+def main():
+    only = os.environ.get("GROUPED_STAGES")
+    batch = int(os.environ.get("GROUPED_BATCH", "8"))
+    rng = np.random.default_rng(0)
+    for name, hw, dw in STAGES:
+        if only and name not in only.split(","):
+            continue
+        cg = dw // GROUPS
+        x = jnp.asarray(rng.normal(size=(batch, hw, hw, dw)) * 0.3,
+                        jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(3, 3, cg, dw)) * (9 * cg) ** -0.5,
+                        jnp.bfloat16)
+        flops = 2 * batch * hw * hw * 9 * cg * dw  # TRUE grouped FLOPs
+        print(f"== {name}: {batch}x{hw}^2x{dw} g{GROUPS} "
+              f"({flops / 1e9:.1f} GF true)", flush=True)
+        ref = None
+        for vname, f in VARIANTS.items():
+            try:
+                sec = PC.timeit(f, x, w, vary=0)
+                got = np.asarray(jax.jit(f)(x, w), np.float32)
+            except Exception as e:
+                print(f"  {vname:8s}  FAILED: {str(e)[:90]}", flush=True)
+                continue
+            if ref is None:
+                ref, err = got, 0.0
+            else:
+                err = float(np.abs(got - ref).max()
+                            / max(np.abs(ref).max(), 1e-6))
+            mfu = flops / sec / 1e12 / PEAK_TFLOPS
+            print(f"  {vname:8s}  {sec * 1e3:7.3f} ms  eff-MFU {mfu * 100:5.1f}%"
+                  f"  relerr {err:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
