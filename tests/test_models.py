@@ -57,6 +57,29 @@ def test_dense_block_diag_equals_grouped_conv():
                                rtol=1e-4, atol=1e-2)
 
 
+def test_super_block_fold_equals_grouped_conv():
+    """The 4-group fold (TPU lowering for the narrow AdaNAF stage) must
+    match the native 16-group conv in forward and grouped-param gradient."""
+    import numpy as np
+    from unirestore_tpu.nn import layers as L
+
+    p = L.conv2d_init(jax.random.PRNGKey(0), 64, 64, 3, groups=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 64))
+    a = L.conv2d(p, x, padding=1, groups=16)
+
+    def fold4(w):
+        return L.conv2d({"w": CFRM._super_block_kernel(w, 16, 4),
+                         "b": p["b"]}, x, padding=1, groups=4)
+
+    np.testing.assert_allclose(np.asarray(a), np.asarray(fold4(p["w"])),
+                               rtol=1e-5, atol=1e-3)
+    ga = jax.grad(lambda w: (L.conv2d({"w": w, "b": p["b"]}, x, padding=1,
+                                      groups=16) ** 2).sum())(p["w"])
+    gb = jax.grad(lambda w: (fold4(w) ** 2).sum())(p["w"])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-2)
+
+
 def test_csce_adapter_shapes():
     p = SC.csce_adapter_init(jax.random.PRNGKey(0), 64, 64, 32)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 64))

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import profile_components as PC
-from unirestore_tpu.models.cfrm import GROUPS, _block_diag_kernel
+from unirestore_tpu.models.cfrm import (GROUPS, _block_diag_kernel,
+                                        _super_block_kernel)
 
 PEAK_TFLOPS = 197.0
 
@@ -51,29 +52,23 @@ def _conv(x, w, groups=1, batch_groups=1):
 
 
 def v_dense(x, w):
-    return _conv(x, _block_diag_kernel(w, GROUPS))
+    return _conv(x, w)  # w pre-expanded to block-diagonal in main()
 
 
 def v_native(x, w):
     return _conv(x, w, groups=GROUPS)
 
 
-def _super_block_kernel(w, groups: int, super_g: int):
-    """Block-diag expand within supergroups: (3,3,cg,cout) grouped-16
-    kernel -> (3,3, cg*fold, cout) grouped-`super_g` kernel."""
-    kh, kw, cg, cout = w.shape
-    fold = groups // super_g
-    cgo = cout // groups
-    dense = jnp.zeros((kh, kw, cg * fold, cout), w.dtype)
-    for g in range(groups):
-        lo = (g % fold) * cg
-        dense = dense.at[:, :, lo:lo + cg, g * cgo:(g + 1) * cgo].set(
-            w[:, :, :, g * cgo:(g + 1) * cgo])
-    return dense
-
-
 def v_dense4(x, w):
-    return _conv(x, _super_block_kernel(w, GROUPS, 4), groups=4)
+    return _conv(x, w, groups=4)  # w pre-expanded in main()
+
+
+def v_dense8(x, w):
+    return _conv(x, w, groups=8)  # 2x-FLOPs fold
+
+
+def v_dense2(x, w):
+    return _conv(x, w, groups=2)  # 8x-FLOPs fold
 
 
 def v_loop16(x, w):
@@ -105,6 +100,7 @@ def v_bgc(x, w):
 
 
 VARIANTS = {"dense": v_dense, "native": v_native, "dense4": v_dense4,
+            "dense8": v_dense8, "dense2": v_dense2,
             "loop16": v_loop16, "bgc": v_bgc}
 
 
@@ -123,11 +119,23 @@ def main():
         flops = 2 * batch * hw * hw * 9 * cg * dw  # TRUE grouped FLOPs
         print(f"== {name}: {batch}x{hw}^2x{dw} g{GROUPS} "
               f"({flops / 1e9:.1f} GF true)", flush=True)
+        # kernel expansions precomputed OUTSIDE the timed fn (in production
+        # they are loop-invariant; in-scan scatter chains also choke this
+        # platform's remote compiler)
+        wforms = {"dense": jax.jit(lambda w_: _block_diag_kernel(
+                      w_, GROUPS))(w),
+                  "dense4": jax.jit(lambda w_: _super_block_kernel(
+                      w_, GROUPS, 4))(w),
+                  "dense8": jax.jit(lambda w_: _super_block_kernel(
+                      w_, GROUPS, 8))(w),
+                  "dense2": jax.jit(lambda w_: _super_block_kernel(
+                      w_, GROUPS, 2))(w)}
         ref = None
         for vname, f in VARIANTS.items():
+            wv = wforms.get(vname, w)
             try:
-                sec = PC.timeit(f, x, w, vary=0)
-                got = np.asarray(jax.jit(f)(x, w), np.float32)
+                sec = PC.timeit(f, x, wv, vary=0)
+                got = np.asarray(jax.jit(f)(x, wv), np.float32)
             except Exception as e:
                 print(f"  {vname:8s}  FAILED: {str(e)[:90]}", flush=True)
                 continue

@@ -27,12 +27,11 @@ def _block_diag_kernel(w, groups: int):
     mathematically identical dense block-diagonal kernel (kh, kw, cin,
     cout).
 
-    On TPU, XLA lowers feature_group_count=16 convs to a 5-D grouped form
-    whose layout forces large relayout copies around every neighboring op
-    (measured: the grouped 3x3 at (8,256,256,512) runs at ~11% MXU plus
-    ~10 ms of copies, while the 16x-FLOPs dense conv runs at ~98% MXU with
-    clean NHWC layouts and is faster end-to-end). Gradients flow through
-    the slice-scatter back to the grouped parameter."""
+    The r1-era lowering for every AdaNAF stage; as of r3 only a fallback
+    (UNIRESTORE_GROUPED_CONV=dense) — per-stage measurements showed the
+    16x-FLOPs dense form loses to native grouped at the wide stages and
+    to a 4-group fold at the narrow one (see _grouped_conv3). Gradients
+    flow through the slice-scatter back to the grouped parameter."""
     kh, kw, cgi, cout = w.shape
     cgo = cout // groups
     dense = jnp.zeros((kh, kw, cgi * groups, cout), w.dtype)
@@ -43,16 +42,56 @@ def _block_diag_kernel(w, groups: int):
     return dense
 
 
+def _super_block_kernel(w, groups: int, super_g: int):
+    """Fold a grouped-``groups`` HWIO kernel into a grouped-``super_g``
+    one by block-diag-expanding within each supergroup (pays
+    groups/super_g x FLOPs instead of the full dense groups x)."""
+    kh, kw, cg, cout = w.shape
+    fold = groups // super_g
+    cgo = cout // groups
+    dense = jnp.zeros((kh, kw, cg * fold, cout), w.dtype)
+    for g in range(groups):
+        lo = (g % fold) * cg
+        dense = dense.at[:, :, lo:lo + cg, g * cgo:(g + 1) * cgo].set(
+            w[:, :, :, g * cgo:(g + 1) * cgo])
+    return dense
+
+
 def _dense_grouped_conv(p, x, groups: int, padding: int):
     return L.conv2d({"w": _block_diag_kernel(p["w"], groups),
                      **({"b": p["b"]} if "b" in p else {})},
                     x, padding=padding)
 
 
-def _use_dense_groups() -> bool:
+def _grouped_conv3(p, x, padding: int):
+    """The AdaNAF grouped 3x3, lowered per stage width.
+
+    Per-lowering cost measured isolated on v5e at the 512px stage shapes
+    (tools/bench_grouped.py, 2026-08-19, ms per conv):
+
+    | stage (dw) | dense-16x | native g16 | dense4 (4x FLOPs) |
+    |---|---:|---:|---:|
+    | s1 (512 @ 256 sq)  | 18.6 | 19.8 | **12.1** |
+    | s2 (1024 @ 128 sq) | 18.1 | **9.7** | 10.1 |
+    | s3 (2048 @ 64 sq)  | 18.6 | **6.4** | 9.8 |
+
+    auto (default): dw <= 512 -> dense4, wider -> native — in-situ A/B'd
+    end-to-end via bench.py before adoption (PERF.md grouped-conv log).
+    Override with UNIRESTORE_GROUPED_CONV=dense|native|dense4|auto.
+    Non-TPU backends always use the native grouped lowering."""
     import os
-    return (jax.default_backend() in ("tpu", "axon")
-            and os.environ.get("UNIRESTORE_DISABLE_DENSE_GROUPS") != "1")
+    if jax.default_backend() not in ("tpu", "axon"):
+        return L.conv2d(p, x, padding=padding, groups=GROUPS)
+    mode = os.environ.get("UNIRESTORE_GROUPED_CONV", "auto")
+    if mode == "auto":
+        mode = "dense4" if p["w"].shape[-1] <= 512 else "native"
+    if mode == "native":
+        return L.conv2d(p, x, padding=padding, groups=GROUPS)
+    if mode == "dense4":
+        return L.conv2d({"w": _super_block_kernel(p["w"], GROUPS, 4),
+                         **({"b": p["b"]} if "b" in p else {})},
+                        x, padding=padding, groups=4)
+    return _dense_grouped_conv(p, x, GROUPS, padding)
 
 
 def ada_naf_v2_init(key, c: int, dtype=jnp.float32):
@@ -74,10 +113,7 @@ def ada_naf_v2(p, x):
     dw = p["conv_in"]["w"].shape[-1]
     h = L.conv2d(p["conv_in"], x, padding=0)
     h = L.group_norm(p["group_norm"], h, groups=GROUPS, eps=1e-5)
-    if _use_dense_groups():
-        h = _dense_grouped_conv(p["group_conv"], h, GROUPS, padding=1)
-    else:
-        h = L.conv2d(p["group_conv"], h, padding=1, groups=GROUPS)
+    h = _grouped_conv3(p["group_conv"], h, padding=1)
     h = L.gelu(h)
     # intra-group SE: grouped 1x1 on the global-average-pooled vector
     h = h * L.conv2d(p["intra_attn"], L.global_avg_pool(h), padding=0,
