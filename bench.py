@@ -41,10 +41,11 @@ STEPS = int(os.environ.get("BENCH_DDIM_STEPS", "20"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "3"))
 TURBO_STRIDE = int(os.environ.get("BENCH_TURBO_STRIDE", "5"))
-# warmup 0 is the headline point: warmup 2 adds a 5th full step per 20
-# (measured 7.46 img/s vs 8+ at warmup 0 — below the north star) for
-# +3.5 dB on the PSNR-vs-exact gate; see PERF.md "Cached-mode quality"
-TURBO_WARMUP = int(os.environ.get("BENCH_TURBO_WARMUP", "0"))
+# warmup 2 is the headline point since the r3 btc+grouped kernels: it
+# buys +3.6 dB on the PSNR-vs-exact gate (51.5 vs 47.9) and now ALSO
+# clears the >=8 north star (measured 8.23 img/s; warmup 0 peaks at
+# 9.51 if raw throughput is wanted); see PERF.md "Cached-mode quality"
+TURBO_WARMUP = int(os.environ.get("BENCH_TURBO_WARMUP", "2"))
 PRIMARY = ("encoder" if os.environ.get("BENCH_ENCODER_PROP") == "1"
            else "deep" if os.environ.get("BENCH_TURBO") == "1"
            else "none")
