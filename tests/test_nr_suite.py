@@ -239,7 +239,7 @@ def test_pi_clone_has_independent_nrqm_state():
 
 def test_committed_nr_artifacts_enable_full_protocol(monkeypatch):
     """A fresh clone computes the complete 10-metric NR protocol with no
-    hand steps: the committed weights/niqe_params.npz + nrqm_model.pkl
+    hand steps: the committed weights/niqe_params.npz + nrqm_model.npz
     (tools/fit_nr_artifacts.py) must keep NIQEMetric off its
     FileNotFoundError path and PI off its constant-NRQM fallback."""
     repo_weights = os.path.join(os.path.dirname(__file__), "..", "weights")
@@ -257,6 +257,4 @@ def test_committed_nr_artifacts_enable_full_protocol(monkeypatch):
     # the full default name list stays the reference's 10-metric protocol
     full = ["clipiqa", "musiq", "musiq-ava", "musiq-paq2piq", "musiq-spaq",
             "nima-koniq", "maniqa", "hyperiqa", "pi", "niqe"]
-    import inspect
-    src = inspect.getsource(NRS.build_nr_suite)
-    assert all(f'"{n}"' in src for n in full)
+    assert list(NRS.DEFAULT_NR_METRICS) == full

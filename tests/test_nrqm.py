@@ -62,7 +62,7 @@ def test_fit_rank_and_roundtrip(tmp_path):
     assert 0.0 <= s_bad <= s_clean <= 10.0
 
     # persistence + metric wrapper
-    path = tmp_path / "nrqm_model.pkl"
+    path = tmp_path / "nrqm_model.npz"
     model.save(str(path))
     m = NQ.NRQMMetric(str(path))
     m.update(test[None])

@@ -5,7 +5,7 @@ seeded corpus — so a fresh clone computes the full 10-metric NR protocol
     python tools/fit_nr_artifacts.py [./weights] [n_images] [n_estimators]
 
 writes  weights/niqe_params.npz   (NIQE pristine MVG)
-        weights/nrqm_model.pkl    (NRQM forests + linear stack)
+        weights/nrqm_model.npz    (NRQM forests + linear stack)
         weights/NR_PROVENANCE.md  (what these were fitted on)
 
 The corpus is synthetic "pseudo-natural" imagery: 1/f^alpha (pink-noise)
@@ -81,15 +81,15 @@ def main(dst: str = "./weights", n_images: str = "24",
     model = fit_nrqm(images, labels, n_estimators=int(n_estimators))
     preds = [model.score(im) for im in images]
     rho = np.corrcoef(preds, labels)[0, 1]
-    model.save(os.path.join(dst, "nrqm_model.pkl"))
-    print(f"wrote nrqm_model.pkl ({len(images)} calibration images, "
+    model.save(os.path.join(dst, "nrqm_model.npz"))
+    print(f"wrote nrqm_model.npz ({len(images)} calibration images, "
           f"train corr {rho:.3f})")
 
     import sklearn
     with open(os.path.join(dst, "NR_PROVENANCE.md"), "w") as fh:
         fh.write(
             "# NR artifact provenance\n\n"
-            "`niqe_params.npz` and `nrqm_model.pkl` were fitted by\n"
+            "`niqe_params.npz` and `nrqm_model.npz` were fitted by\n"
             "`tools/fit_nr_artifacts.py` on its deterministic synthetic\n"
             f"pseudo-natural corpus ({len(corpus)} images, seed 1234; "
             "1/f^alpha\nluminance + smooth chroma + hard-edged shapes), "
@@ -99,7 +99,12 @@ def main(dst: str = "./weights", n_images: str = "24",
             "and rank-consistent; values are NOT numerically comparable to\n"
             "pyiqa's models (real pristine photos / human opinion scores).\n"
             "Refit on a real clean corpus with tools/fit_niqe.py and\n"
-            "tools/fit_nrqm.py.\n")
+            "tools/fit_nrqm.py.\n\n"
+            "Format: `nrqm_model.npz` stores the fitted forests as flat\n"
+            "CART node arrays (children/feature/threshold/value per tree)\n"
+            "plus the linear-stack coefficients — a non-executable\n"
+            "serialization loaded with `allow_pickle=False`\n"
+            "(evalx/nrqm.py NumpyForest).\n")
     print("wrote NR_PROVENANCE.md")
 
 

@@ -56,7 +56,7 @@ def main(src: str, dst: str = None, n_estimators: str = "100"):
     model = fit_nrqm(images, labels, n_estimators=int(n_estimators))
     preds = [model.score(im) for im in images]
     rho = np.corrcoef(preds, labels)[0, 1]
-    out = os.path.join(dst, "nrqm_model.pkl")
+    out = os.path.join(dst, "nrqm_model.npz")
     model.save(out)
     print(f"wrote {out} ({len(images)} calibration images, "
           f"train corr {rho:.3f})")

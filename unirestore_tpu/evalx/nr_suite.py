@@ -28,6 +28,12 @@ from . import maniqa as MAN
 from . import musiq as MUS
 from . import nima as NIM
 
+# the reference's full 10-metric NR protocol (eval_image_restoration.py:
+# 190-203) — build_nr_suite's default; tests assert against this constant
+DEFAULT_NR_METRICS = (
+    "clipiqa", "musiq", "musiq-ava", "musiq-paq2piq", "musiq-spaq",
+    "nima-koniq", "maniqa", "hyperiqa", "pi", "niqe")
+
 _WARNED = set()
 
 
@@ -123,9 +129,7 @@ def build_nr_suite(names=None, seed: int = 11) -> dict:
     Default = the reference's full 10-metric NR set. NIQE (and hence PI)
     is skipped with a warning when no pristine model has been fitted.
     """
-    names = list(names) if names is not None else [
-        "clipiqa", "musiq", "musiq-ava", "musiq-paq2piq", "musiq-spaq",
-        "nima-koniq", "maniqa", "hyperiqa", "pi", "niqe"]
+    names = list(names) if names is not None else list(DEFAULT_NR_METRICS)
     out = {}
     for name in names:
         if name == "clipiqa":

@@ -19,13 +19,17 @@ redistributable; ``fit_nrqm`` self-calibrates the forests on pseudo-labels
 derived from the corruption library's severity scale (clean=10 down to
 severity 5), which preserves the metric's ranking behavior (sharp/clean >
 distorted) without the original labels. tools/fit_nrqm.py builds
-``$UNIRESTORE_WEIGHTS/nrqm_model.pkl`` from any folder of clean images.
+``$UNIRESTORE_WEIGHTS/nrqm_model.npz`` from any folder of clean images.
+
+The fitted forests are stored as plain flat node arrays in an .npz (a
+non-executable format — no pickle in the load path, so a cloned repo's
+committed artifact cannot execute code on deserialization) and inference
+is a numpy tree walk; sklearn is only needed at fit time.
 """
 
 from __future__ import annotations
 
 import os
-import pickle
 
 import numpy as np
 from scipy.fft import dctn
@@ -184,9 +188,73 @@ def nrqm_features(image):
 # -- two-stage regression (3 forests + linear stack) --------------------------
 
 
+class NumpyForest:
+    """Random-forest regressor as flat node arrays (numpy-only inference).
+
+    All trees' nodes are concatenated; ``offsets`` (len n_trees+1) indexes
+    each tree's root. Internal nodes have ``feature >= 0``; a sample goes
+    left when ``x[feature] <= threshold``. Leaves carry the regression
+    value. This is the standard CART array layout (sklearn's ``tree_``
+    exposes the same arrays), so fitted sklearn forests convert losslessly.
+    """
+
+    def __init__(self, left, right, feature, threshold, value, offsets):
+        self.left = np.asarray(left, np.int32)
+        self.right = np.asarray(right, np.int32)
+        self.feature = np.asarray(feature, np.int32)
+        self.threshold = np.asarray(threshold, np.float64)
+        self.value = np.asarray(value, np.float64)
+        self.offsets = np.asarray(offsets, np.int64)
+
+    @classmethod
+    def from_sklearn(cls, rf):
+        left, right, feat, thr, val, off = [], [], [], [], [], [0]
+        for est in rf.estimators_:
+            t = est.tree_
+            left.append(t.children_left)
+            right.append(t.children_right)
+            feat.append(t.feature)
+            thr.append(t.threshold)
+            val.append(t.value.reshape(-1))
+            off.append(off[-1] + t.node_count)
+        return cls(np.concatenate(left), np.concatenate(right),
+                   np.concatenate(feat), np.concatenate(thr),
+                   np.concatenate(val), off)
+
+    def predict(self, X):
+        X = np.asarray(X, np.float64)
+        out = np.zeros(len(X))
+        n_trees = len(self.offsets) - 1
+        for i, x in enumerate(X):
+            acc = 0.0
+            for t in range(n_trees):
+                node = self.offsets[t]
+                while self.feature[node] >= 0:
+                    if x[self.feature[node]] <= self.threshold[node]:
+                        node = self.offsets[t] + self.left[node]
+                    else:
+                        node = self.offsets[t] + self.right[node]
+                acc += self.value[node]
+            out[i] = acc / n_trees
+        return out
+
+    def arrays(self, prefix):
+        return {f"{prefix}_left": self.left, f"{prefix}_right": self.right,
+                f"{prefix}_feature": self.feature,
+                f"{prefix}_threshold": self.threshold,
+                f"{prefix}_value": self.value,
+                f"{prefix}_offsets": self.offsets}
+
+    @classmethod
+    def from_arrays(cls, d, prefix):
+        return cls(d[f"{prefix}_left"], d[f"{prefix}_right"],
+                   d[f"{prefix}_feature"], d[f"{prefix}_threshold"],
+                   d[f"{prefix}_value"], d[f"{prefix}_offsets"])
+
+
 class NRQMModel:
     def __init__(self, forests, stack_w, stack_b):
-        self.forests = forests  # one RandomForestRegressor per group
+        self.forests = forests  # one NumpyForest per feature group
         self.stack_w = np.asarray(stack_w, np.float64)
         self.stack_b = float(stack_b)
 
@@ -198,15 +266,21 @@ class NRQMModel:
 
     def save(self, path):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump({"forests": self.forests, "w": self.stack_w,
-                         "b": self.stack_b}, f)
+        arrays = {"stack_w": self.stack_w,
+                  "stack_b": np.asarray([self.stack_b])}
+        for g, f in enumerate(self.forests):
+            arrays.update(f.arrays(f"f{g}"))
+        # write to the exact path given (np.savez on a str appends .npz)
+        with open(path, "wb") as fh:
+            np.savez_compressed(fh, **arrays)
 
     @classmethod
     def load(cls, path):
-        with open(path, "rb") as f:
-            d = pickle.load(f)
-        return cls(d["forests"], d["w"], d["b"])
+        # allow_pickle stays False (numpy's default): the artifact is pure
+        # arrays and must never be an arbitrary-code-execution vector
+        with np.load(path) as d:
+            forests = [NumpyForest.from_arrays(d, f"f{g}") for g in range(3)]
+            return cls(forests, d["stack_w"], float(d["stack_b"][0]))
 
 
 def fit_nrqm(images, labels, n_estimators: int = 100, seed: int = 0):
@@ -226,8 +300,8 @@ def fit_nrqm(images, labels, n_estimators: int = 100, seed: int = 0):
         rf = RandomForestRegressor(n_estimators=n_estimators,
                                    random_state=seed + g, n_jobs=-1)
         rf.fit(X, y)
-        forests.append(rf)
-        preds.append(rf.predict(X))
+        forests.append(NumpyForest.from_sklearn(rf))
+        preds.append(forests[-1].predict(X))
     P = np.stack(preds, axis=1)
     A = np.concatenate([P, np.ones((len(y), 1))], axis=1)
     coef, *_ = np.linalg.lstsq(A, y, rcond=None)
@@ -236,11 +310,11 @@ def fit_nrqm(images, labels, n_estimators: int = 100, seed: int = 0):
 
 def default_model_path():
     return os.path.join(os.environ.get("UNIRESTORE_WEIGHTS", "./weights"),
-                        "nrqm_model.pkl")
+                        "nrqm_model.npz")
 
 
 class NRQMMetric:
-    """MeanMetric-style wrapper using weights/nrqm_model.pkl."""
+    """MeanMetric-style wrapper using weights/nrqm_model.npz."""
 
     def __init__(self, model_path: str | None = None):
         path = model_path or default_model_path()

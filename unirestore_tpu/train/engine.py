@@ -292,6 +292,14 @@ class Trainer:
         # never ambient (steps.py design note); no checkpoint is written.
         if stop_after is not None and not split_step:
             raise ValueError("trainer.stop_after requires split_step")
+        if stop_after is not None and stop_after not in (
+                "shared", "fr", "cn", "te"):
+            # fail here, not after data setup + precompiles: a typo'd value
+            # would otherwise burn the whole multi-minute setup before the
+            # lazy check inside make_split_train_step fires
+            raise ValueError(
+                f"trainer.stop_after must be one of shared|fr|cn|te, "
+                f"got {stop_after!r}")
         self.stop_after = stop_after
         # FSDP (ZeRO-3) placement: shard trainable/frozen/optimizer state
         # over the data axis instead of replicating (parallel/fsdp.py);
@@ -461,7 +469,11 @@ class Trainer:
                     time.time() - t0, 1e-9)
                 t0 = time.time()
                 self._log(step, logs)
+            # stop_after (cache-warm) runs never update trainable — a
+            # val-interval checkpoint here would plant the same bogus
+            # resume point the final-checkpoint skip below exists to avoid
             if (self.val_check_interval and evaluator_factory
+                    and not self.stop_after
                     and step % self.val_check_interval == 0):
                 engine.trainable = jax.tree.map(np.asarray, trainable)
                 metrics = self.validate(engine, data, evaluator_factory)
