@@ -271,6 +271,50 @@ def test_btc_attention_matches_reference():
     assert not PA.btc_supported(4096, 4096, 512, 512)  # VAE wide head
 
 
+def test_btc_fused_out_attention_matches_reference():
+    """Out-projection-fused channel-flat kernel (interpret mode): the
+    in-kernel (BQ, inner) @ (inner, C) epilogue must equal attention
+    followed by a separate out-proj matmul, forward and (custom-VJP)
+    gradients incl. the wo grad."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unirestore_tpu.nn import pallas_attention as PA
+
+    b, t, h, d, c = 2, 256, 2, 64, 96
+    inner = h * d
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, t, inner), jnp.float32)
+    k = jax.random.normal(ks[1], (b, t, inner), jnp.float32)
+    v = jax.random.normal(ks[2], (b, t, inner), jnp.float32)
+    wo = jax.random.normal(ks[3], (inner, c), jnp.float32) * inner ** -0.5
+    scale = d ** -0.5
+    q_pre = q * (scale * PA._LOG2E)
+    ours = PA._fused_raw_btc_out(q_pre, k, v, wo, d, interpret=True)
+    ref = PA._xla_reference_btc(q, k, v, scale, d) @ wo
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+    # gradient path incl. the fused weight: diffable == XLA reference
+    f = PA._make_diffable_btc_out(functools.partial(PA._fused_raw_btc_out,
+                                                    interpret=True))
+
+    def loss_pallas(qp, w):
+        return (f(qp, k, v, w, d) ** 2).sum()
+
+    def loss_ref(qp, w):
+        return ((PA._xla_reference_btc(qp, k, v, PA._LN2, d) @ w) ** 2).sum()
+
+    g1q, g1w = jax.grad(loss_pallas, argnums=(0, 1))(q_pre, wo)
+    g2q, g2w = jax.grad(loss_ref, argnums=(0, 1))(q_pre, wo)
+    np.testing.assert_allclose(np.asarray(g1q), np.asarray(g2q), atol=2e-2,
+                               rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(g1w), np.asarray(g2w), atol=2e-2,
+                               rtol=2e-2)
+
+
 def test_chunked_train_attention_matches_unchunked():
     """The training-path query-chunked attention (Rabe-Staats lax.map over
     query blocks, attention.py:_chunked_attention) must be numerically

@@ -318,7 +318,16 @@ def chain_variants(b, t, h, c):
         o = _hslice_attention(q, k, v)
         return o @ wo.reshape(inner, c)
 
-    return {"chain_base": base, "chain_hslice": hslice}
+    def hslice_fusedout(x, wq, wk, wv, wo):
+        # out-projection fused into the kernel epilogue: the (B, T, I)
+        # attention output never leaves VMEM (removes the separate
+        # out-proj op + its HBM round trip — PERF.md's ~2 ms/step
+        # linear-slack bucket)
+        q, k, v = x @ wq, x @ wk, x @ wv
+        return PA._fused_raw_btc_out(q, k, v, wo.reshape(inner, c), 64)
+
+    return {"chain_base": base, "chain_hslice": hslice,
+            "chain_fusedout": hslice_fusedout}
 
 
 def chain_main():

@@ -266,6 +266,61 @@ def _fused_raw_btc(q, k, v, dim_head: int = 64, interpret: bool = False):
     )(q, k, v)
 
 
+def _btc_out_kernel(q_ref, k_ref, v_ref, wo_ref, o_ref, acc_ref, *,
+                    h: int, d: int):
+    """``_btc_kernel`` with the attention OUT-PROJECTION fused as an
+    epilogue: per-head outputs land in a VMEM scratch (BQ, inner), then
+    one (BQ, inner) @ (inner, C) MXU matmul produces the projected block
+    directly — the (B, T, inner) attention output never round-trips HBM
+    and the separate out-proj op (pinned at its 69% pad-to-tile cap,
+    PERF.md microbench ``out_320``) disappears from the XLA schedule.
+    Bias (and the residual) stay outside: XLA fuses a broadcast add for
+    free, while a fused bias would force f32 accumulation plumbing here."""
+    for hi in range(h):
+        sl = slice(hi * d, (hi + 1) * d)
+        q = q_ref[0, :, sl]  # (BQ, D)
+        k = k_ref[0, :, sl]  # (T, D)
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ot = jax.lax.dot_general(v, p.astype(v.dtype),
+                                 (((0,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[:, sl] = (ot.T / l).astype(acc_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        acc_ref[...], wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dim_head", "interpret"))
+def _fused_raw_btc_out(q, k, v, wo, dim_head: int = 64,
+                       interpret: bool = False):
+    """q, k, v: (B, T, inner); wo: (inner, C) -> (B, T, C).
+    q pre-scaled upstream; out-proj bias added by the caller."""
+    b, t, inner = q.shape
+    c = wo.shape[1]
+    h = inner // dim_head
+    bq = min(t, 256)
+    grid = (b, t // bq)
+    q_spec = pl.BlockSpec((1, bq, inner), lambda bi, qi: (bi, qi, 0))
+    kv_spec = pl.BlockSpec((1, t, inner), lambda bi, qi: (bi, 0, 0))
+    wo_spec = pl.BlockSpec((inner, c), lambda bi, qi: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_btc_out_kernel, h=h, d=dim_head),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, wo_spec],
+        out_specs=pl.BlockSpec((1, bq, c), lambda bi, qi: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, inner), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(q, k, v, wo)
+
+
 # ---------------------------------------------------------------------------
 # autodiff: Pallas forward, XLA-graph backward
 # ---------------------------------------------------------------------------
@@ -375,6 +430,41 @@ def _make_diffable_btc(raw):
 
 
 _fused_diffable_btc_prescaled = _make_diffable_btc(_fused_raw_btc)
+
+
+def _make_diffable_btc_out(raw):
+    """custom_vjp for the out-proj-fused forward: Pallas forward, XLA
+    attention+matmul graph backward (prescaled numerics as in
+    ``_make_diffable_btc``); grads flow to q/k/v AND wo."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+    def f(q, k, v, wo, dim_head):
+        return raw(q, k, v, wo, dim_head)
+
+    def fwd(q, k, v, wo, dim_head):
+        return raw(q, k, v, wo, dim_head), (q, k, v, wo)
+
+    def bwd(dim_head, res, g):
+        q, k, v, wo = res
+        _, vjp = jax.vjp(
+            lambda a, b, c, w: _xla_reference_btc(a, b, c, _LN2,
+                                                  dim_head) @ w,
+            q, k, v, wo)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_fused_diffable_btc_out_prescaled = _make_diffable_btc_out(
+    _fused_raw_btc_out)
+
+
+def fused_attention_btc_out_prescaled(q, k, v, wo, dim_head: int = 64):
+    """(B, T, inner) attention with the (inner, C) out-projection fused
+    into the kernel epilogue; q pre-scaled by (softmax_scale * log2 e),
+    out-proj bias added by the caller."""
+    return _fused_diffable_btc_out_prescaled(q, k, v, wo, dim_head)
 
 
 def fused_attention_btc_prescaled(q, k, v, dim_head: int = 64):
