@@ -83,6 +83,61 @@ def v_loop16(x, w):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _v_loop_sg(x, w, sg: int):
+    """``sg`` supergroup slices of 128*? channels, each a PLAIN DENSE conv
+    (no feature_group_count at all): the per-slice kernel is the
+    block-diagonal expansion of GROUPS/sg real groups, so FLOPs are
+    (GROUPS/sg)x true — but each conv is a dense 128-aligned-channel conv,
+    the shape class the microbenchmarks measure at 85% MFU
+    (vae_conv_512_128 et al.) while XLA's feature_group_count emitter
+    runs the same math at ~26%. Slices/concat are layout-clean channel
+    splits that XLA fuses into the convs' input/output."""
+    c = x.shape[-1]
+    cs = c // sg  # channels per slice
+    cgo = w.shape[-1] // GROUPS
+    fold = GROUPS // sg
+    outs = []
+    for s in range(sg):
+        ws = _block_diag_kernel(
+            w[:, :, :, s * fold * cgo:(s + 1) * fold * cgo], fold)
+        outs.append(_conv(x[..., s * cs:(s + 1) * cs], ws))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def v_loop128(x, w):
+    """Supergroup slices sized to exactly 128 channels (the MXU lane
+    width): s1 -> 4 slices of 128 (4x FLOPs), s2 -> 8 slices (2x),
+    s3 -> 16 slices (1x, true FLOPs)."""
+    sg = x.shape[-1] // 128
+    return _v_loop_sg(x, w, sg)
+
+
+def v_loop256(x, w):
+    """256-channel supergroup slices (half the per-conv op count of
+    loop128 at 2x its FLOPs): probes whether per-conv overhead or FLOPs
+    dominate."""
+    sg = max(1, x.shape[-1] // 256)
+    return _v_loop_sg(x, w, sg)
+
+
+def v_bgc128(x, w):
+    """batch_group_count at 128-channel supergroup granularity: one conv
+    op (no concat), supergroups ride the batch dim, per-supergroup
+    kernels are dense 128->cout block-diag expansions."""
+    b, h, wd, c = x.shape
+    sg = c // 128
+    fold = GROUPS // sg
+    cgo = w.shape[-1] // GROUPS
+    xg = (x.reshape(b, h, wd, sg, 128)
+           .transpose(3, 0, 1, 2, 4)
+           .reshape(sg * b, h, wd, 128))
+    ws = jnp.concatenate(
+        [_block_diag_kernel(
+            w[:, :, :, s * fold * cgo:(s + 1) * fold * cgo], fold)
+         for s in range(sg)], axis=-1)
+    return _conv(xg, ws, batch_groups=sg)
+
+
 def v_bgc(x, w):
     """Groups -> batch: x (B,H,W,G*cg) -> (G*B,H,W,cg); per-group kernels
     stacked on the output-channel dim with batch_group_count=G."""
@@ -101,7 +156,9 @@ def v_bgc(x, w):
 
 VARIANTS = {"dense": v_dense, "native": v_native, "dense4": v_dense4,
             "dense8": v_dense8, "dense2": v_dense2,
-            "loop16": v_loop16, "bgc": v_bgc}
+            "loop16": v_loop16, "bgc": v_bgc,
+            "loop128": v_loop128, "loop256": v_loop256,
+            "bgc128": v_bgc128}
 
 
 def main():
@@ -131,7 +188,10 @@ def main():
                   "dense2": jax.jit(lambda w_: _super_block_kernel(
                       w_, GROUPS, 2))(w)}
         ref = None
+        sel = os.environ.get("GROUPED_VARIANTS")
         for vname, f in VARIANTS.items():
+            if sel and vname not in sel.split(",") and vname != "native":
+                continue  # native always runs: it is the relerr reference
             wv = wforms.get(vname, w)
             try:
                 sec = PC.timeit(f, x, wv, vary=0)

@@ -111,7 +111,12 @@ def main():
     frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
 
     if STAGE == 1:
-        stage = ST.StageConfig(train_cfrm=True, train_cnet=True,
+        # TRAIN_FRENC_ONLY=1: isolate the CFRM feature objective (cnet
+        # term off) — the frenc learning-evidence runs use this so the
+        # adapter's own loss is the total and its trajectory is
+        # unambiguous (reference stage 1 trains both, engine_unifie.py:135-181)
+        frenc_only = os.environ.get("TRAIN_FRENC_ONLY") == "1"
+        stage = ST.StageConfig(train_cfrm=True, train_cnet=not frenc_only,
                                train_tfa=False)
     else:  # stage 3 = stage 2 with only the new task's prompts training
         stage = ST.StageConfig(train_cfrm=False, train_cnet=False,
@@ -138,10 +143,23 @@ def main():
                                   te_loss_fn=te_fn, donate=True)
 
     k = jax.random.PRNGKey(1)
-    batch = {"lq": jax.random.uniform(k, (BATCH, res, res, 3),
-                                      jnp.bfloat16),
-             "hq": jax.random.uniform(jax.random.fold_in(k, 1),
-                                      (BATCH, res, res, 3), jnp.bfloat16)}
+    hq = jax.random.uniform(jax.random.fold_in(k, 1),
+                            (BATCH, res, res, 3), jnp.bfloat16)
+    if os.environ.get("TRAIN_LQ_FROM_HQ") == "1":
+        # lq = degraded hq (additive gaussian + 4x box-downsample blur):
+        # the reference's stage-1 semantics (lq is a corrupted version of
+        # hq, dataset.py pair loaders) — gives the CFRM branch a
+        # learnable lq->hq feature mapping instead of two independent
+        # noise images (used by the frenc learning-evidence runs)
+        blur = jax.image.resize(jax.image.resize(
+            hq.astype(jnp.float32), (BATCH, res // 4, res // 4, 3),
+            "linear"), (BATCH, res, res, 3), "linear")
+        noise = 0.1 * jax.random.normal(jax.random.fold_in(k, 7),
+                                        hq.shape, jnp.float32)
+        lq = jnp.clip(blur + noise, 0.0, 1.0).astype(jnp.bfloat16)
+    else:
+        lq = jax.random.uniform(k, (BATCH, res, res, 3), jnp.bfloat16)
+    batch = {"lq": lq, "hq": hq}
     if TASK == "cls":
         batch["gt"] = jax.random.randint(jax.random.fold_in(k, 2),
                                          (BATCH,), 0, 1000)
@@ -167,6 +185,27 @@ def main():
         boxes, labels, mask = pad_targets(targets)
         batch["gt"] = {"boxes": boxes, "labels": labels, "mask": mask}
 
+    if os.environ.get("TRAIN_FRENC_BASELINE") == "1":
+        # no-adapter floor for the CFRM feature objective: the weighted
+        # mid-feature MSE with the CFRM branch DISABLED (raw frozen-
+        # encoder LQ mids vs HQ mids). A trained CFRM must land BELOW
+        # this to demonstrate the branch reduces its own objective.
+        @jax.jit
+        def _frenc_no_fr(frozen_p, batch_):
+            _, hm = UR.encode(frozen_p, {}, cfg, batch_["hq"],
+                              rng=jax.random.PRNGKey(11), enable_fr=False)
+            _, lm = UR.encode(frozen_p, {}, cfg, batch_["lq"],
+                              rng=jax.random.PRNGKey(12), enable_fr=False)
+            terms = [jnp.mean((l.astype(jnp.float32)
+                               - h.astype(jnp.float32)) ** 2)
+                     for l, h in zip(lm, hm)]
+            return sum(w * t for w, t in zip(stage.w_fr, terms)), terms
+        base, terms = _frenc_no_fr(frozen, batch)
+        print(json.dumps({
+            "frenc_no_cfrm_baseline": round(float(np.asarray(base)), 6),
+            "layer_terms_no_cfrm": [round(float(np.asarray(t)), 6)
+                                    for t in terms]}), flush=True)
+
     t0 = time.perf_counter()
     trainable, opt_state, logs = step(trainable, opt_state, batch,
                                       jax.random.PRNGKey(2))
@@ -187,8 +226,10 @@ def main():
         key = jax.random.PRNGKey(3) if fixed_rng else jax.random.PRNGKey(3 + i)
         trainable, opt_state, logs = step(trainable, opt_state, batch, key)
         if log_every and (i + 1) % log_every == 0:
-            print(json.dumps({"step": i + 1, "loss": round(
-                float(np.asarray(logs["train/loss"])), 5)}), flush=True)
+            rec = {"step": i + 1}
+            rec.update({key.removeprefix("train/"): round(
+                float(np.asarray(v)), 6) for key, v in sorted(logs.items())})
+            print(json.dumps(rec), flush=True)
     loss = float(np.asarray(logs["train/loss"]))  # sync
     dt = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(loss), loss

@@ -108,6 +108,21 @@ def _use_btc(t: int, s: int, inner: int, dim_head: int) -> bool:
     return PA.btc_supported(t, s, inner, dim_head)
 
 
+def _use_btc_fused_out(c_out: int) -> bool:
+    """Fuse the (inner, C) out-projection into the btc kernel's epilogue
+    (per-head outputs accumulate in a VMEM scratch; one MXU matmul emits
+    the projected block, so the attention output never round-trips HBM
+    and the separate out-proj op — pinned at its 69% pad-to-tile cap —
+    disappears from the schedule). Targets the roofline's ~2 ms/step
+    linear-slack bucket. Opt-in (UNIRESTORE_FUSED_OUT_ATTN=1) until the
+    in-situ A/B on the chip decides the default."""
+    import os
+    if os.environ.get("UNIRESTORE_FUSED_OUT_ATTN") != "1":
+        return False
+    # lane-tiled output block: the epilogue writes (BQ, C) straight to HBM
+    return c_out % 128 == 0 or c_out in (320, 640)
+
+
 def _use_streaming(t: int, s: int, dim_head: int) -> bool:
     """Wide-head self-attention (VAE mid block: one 512-d head at 4096
     tokens) goes through the online-softmax K/V-streaming kernel."""
@@ -206,7 +221,9 @@ def mha(p, x, context=None, heads: int = 8):
         # heads sliced inside the kernel — removes every head-major
         # relayout copy (measured -13% at T=4096 incl. projections,
         # tools/bench_attention.py ATTN_CHAIN=1).
-        from .pallas_attention import _LOG2E, fused_attention_btc_prescaled
+        from .pallas_attention import (_LOG2E,
+                                       fused_attention_btc_out_prescaled,
+                                       fused_attention_btc_prescaled)
         scale_gain = jnp.asarray(scale * _LOG2E, x.dtype)
         pq = p["to_q"]
         qf = x @ (pq["w"].astype(x.dtype) * scale_gain)
@@ -214,6 +231,13 @@ def mha(p, x, context=None, heads: int = 8):
             qf = qf + pq["b"].astype(x.dtype) * scale_gain
         kf = L.linear(p["to_k"], ctx)
         vf = L.linear(p["to_v"], ctx)
+        po = p["to_out"]
+        if _use_btc_fused_out(po["w"].shape[1]):
+            out = fused_attention_btc_out_prescaled(
+                qf, kf, vf, po["w"].astype(x.dtype), dim_head)
+            if "b" in po:
+                out = out + po["b"].astype(x.dtype)
+            return out
         of = fused_attention_btc_prescaled(qf, kf, vf, dim_head)
         return L.linear(p["to_out"], of)
     use_streaming = not use_fused and _use_streaming(t, s, dim_head)
