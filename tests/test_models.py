@@ -80,6 +80,29 @@ def test_super_block_fold_equals_grouped_conv():
                                rtol=1e-4, atol=1e-2)
 
 
+def test_loop128_slices_equal_grouped_conv():
+    """The 128-lane supergroup-slice lowering (r4 TPU default for the
+    dw<=1024 AdaNAF stages) must match the native 16-group conv in
+    forward and grouped-param gradient, with and without bias."""
+    import numpy as np
+    from unirestore_tpu.nn import layers as L
+
+    for c, bias in [(256, True), (128, False)]:
+        p = L.conv2d_init(jax.random.PRNGKey(0), c, c, 3, groups=16,
+                          bias=bias)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, c))
+        want = L.conv2d(p, x, padding=1, groups=16)
+        got = CFRM._loop128_grouped_conv(p, x, padding=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-3)
+        ga = jax.grad(lambda w: (L.conv2d({**p, "w": w}, x, padding=1,
+                                          groups=16) ** 2).sum())(p["w"])
+        gb = jax.grad(lambda w: (CFRM._loop128_grouped_conv(
+            {**p, "w": w}, x, 1) ** 2).sum())(p["w"])
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-4, atol=1e-2)
+
+
 def test_csce_adapter_shapes():
     p = SC.csce_adapter_init(jax.random.PRNGKey(0), 64, 64, 32)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 64))

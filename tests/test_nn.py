@@ -373,3 +373,44 @@ def test_chunk_snap_non_pow2_resolutions():
         for t in (1296, 1600, 1936, 2304, 2704, 3136, 3600, 4900):
             c = A._train_attn_chunk(t, t)
             assert c and t % c == 0 and c <= 512
+
+
+def test_pallas_grouped_conv_matches_xla():
+    """Supergroup-matmul grouped-conv kernel (interpret mode on CPU) ==
+    XLA's feature_group_count conv, forward and custom-VJP backward (the
+    CFRM AdaNAF grouped 3x3, cfrm.py:30-style shapes scaled down)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unirestore_tpu.nn.pallas_grouped_conv import (grouped_conv3_pallas,
+                                                       _xla_reference,
+                                                       supported)
+
+    assert supported((8, 256, 256, 512), (3, 3, 32, 512), 16)
+    assert supported((8, 64, 64, 2048), (3, 3, 128, 2048), 16)
+    assert not supported((8, 256, 256, 320), (3, 3, 20, 320), 16)  # lanes
+    assert not supported((8, 256, 256, 512), (3, 3, 32, 256), 16)  # cout
+    assert not supported((8, 250, 256, 512), (3, 3, 32, 512), 16)  # rows
+
+    rng = np.random.default_rng(0)
+    for (b, h, w, c, g) in [(2, 8, 16, 256, 16), (1, 8, 32, 128, 16),
+                            (2, 16, 16, 256, 2)]:
+        x = jnp.asarray(rng.normal(size=(b, h, w, c)) * 0.3, jnp.float32)
+        wk = jnp.asarray(rng.normal(size=(3, 3, c // g, c)) * 0.05,
+                         jnp.float32)
+        assert supported(x.shape, wk.shape, g)
+        want = _xla_reference(x, wk, g)
+        for variant in ("v2", "v3"):
+            got = grouped_conv3_pallas(x, wk, g, True, variant)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-4, rtol=2e-4,
+                                       err_msg=variant)
+        # custom VJP (XLA-graph backward) must match grads of the native op
+        f = lambda xx, ww: (grouped_conv3_pallas(xx, ww, g, True) ** 2).sum()
+        fr = lambda xx, ww: (_xla_reference(xx, ww, g) ** 2).sum()
+        gx, gw = jax.grad(f, argnums=(0, 1))(x, wk)
+        rx, rw = jax.grad(fr, argnums=(0, 1))(x, wk)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   atol=2e-3, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   atol=2e-3, rtol=2e-3)

@@ -154,11 +154,27 @@ def v_bgc(x, w):
     return _conv(xg, w, batch_groups=GROUPS)
 
 
+def v_pallas(x, w):
+    """Pallas supergroup kernel v2 (nn/pallas_grouped_conv.py): in-VMEM
+    im2col patch + one deep (RB*W, 1152) @ (1152, 128) matmul per cell —
+    bypasses XLA's conv emitter entirely."""
+    from unirestore_tpu.nn.pallas_grouped_conv import grouped_conv3_pallas
+    return grouped_conv3_pallas(x, w, GROUPS, False, "v2")
+
+
+def v_pallas3(x, w):
+    """Pallas kernel v3: dx shift commuted to the output side — aligned
+    dy-only patch copies, three (RB*Wp, 384) @ (384, 128) matmuls, two
+    shifted VPU adds."""
+    from unirestore_tpu.nn.pallas_grouped_conv import grouped_conv3_pallas
+    return grouped_conv3_pallas(x, w, GROUPS, False, "v3")
+
+
 VARIANTS = {"dense": v_dense, "native": v_native, "dense4": v_dense4,
             "dense8": v_dense8, "dense2": v_dense2,
             "loop16": v_loop16, "bgc": v_bgc,
             "loop128": v_loop128, "loop256": v_loop256,
-            "bgc128": v_bgc128}
+            "bgc128": v_bgc128, "pallas": v_pallas, "pallas3": v_pallas3}
 
 
 def main():

@@ -28,6 +28,14 @@ def enable_compile_cache() -> str | None:
     d = cache_dir()
     try:
         jax.config.update("jax_compilation_cache_dir", d)
+        # cache EVERYTHING, not just modules whose pure compile time
+        # exceeds jax's 1 s default: on this platform the remote-compile
+        # RPC round trip costs 15 s (healthy tunnel) to minutes (degraded)
+        # even for a sub-second compile, so a "too small to cache" module
+        # still pays the full tunnel tax on every run — notably bench.py's
+        # preflight matmul, whose cold path has measured > 300 s on a
+        # degraded tunnel (2026-08-20) against a 300 s preflight timeout
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         return None
     return d

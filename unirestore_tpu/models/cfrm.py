@@ -63,29 +63,75 @@ def _dense_grouped_conv(p, x, groups: int, padding: int):
                     x, padding=padding)
 
 
+def _loop128_grouped_conv(p, x, padding: int):
+    """Supergroup channel slices of exactly 128 lanes (the MXU lane
+    width), each lowered as a PLAIN DENSE conv — no
+    ``feature_group_count`` anywhere.
+
+    Per-slice kernels are the block-diagonal expansion of
+    ``GROUPS/(dw/128)`` real groups, so the lowering pays
+    ``(16*128/dw)``x true FLOPs (4x at dw=512, 2x at 1024, 1x at
+    2048) — but every conv is a 128-aligned dense conv, the shape class
+    XLA's emitter runs at ~85% MFU (microbench ``vae_conv_512_128``)
+    while its grouped emitter runs the same math at ~26%. The channel
+    slice/concat splits are layout-clean and fuse into the convs'
+    input/output (measured: tools/bench_grouped.py ``loop128``,
+    PERF.md round-4 grouped-conv log)."""
+    c = x.shape[-1]
+    sg = c // 128
+    fold = GROUPS // sg
+    cgo = p["w"].shape[-1] // GROUPS
+    outs = []
+    for s in range(sg):
+        ws = _block_diag_kernel(
+            p["w"][:, :, :, s * fold * cgo:(s + 1) * fold * cgo], fold)
+        ps = {"w": ws}
+        if "b" in p:
+            ps["b"] = p["b"][s * fold * cgo:(s + 1) * fold * cgo]
+        outs.append(L.conv2d(ps, x[..., s * 128:(s + 1) * 128],
+                             padding=padding))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _grouped_conv3(p, x, padding: int):
     """The AdaNAF grouped 3x3, lowered per stage width.
 
     Per-lowering cost measured isolated on v5e at the 512px stage shapes
-    (tools/bench_grouped.py, 2026-08-19, ms per conv):
+    (tools/bench_grouped.py, 2026-08-19/20, ms per conv; eight lowering
+    families total — full log in PERF.md "Grouped-conv lowering log"):
 
-    | stage (dw) | dense-16x | native g16 | dense4 (4x FLOPs) |
-    |---|---:|---:|---:|
-    | s1 (512 @ 256 sq)  | 18.6 | 19.8 | **12.1** |
-    | s2 (1024 @ 128 sq) | 18.1 | **9.7** | 10.1 |
-    | s3 (2048 @ 64 sq)  | 18.6 | **6.4** | 9.8 |
+    | stage (dw) | dense-16x | native g16 | dense4 (4x) | loop128 |
+    |---|---:|---:|---:|---:|
+    | s1 (512 @ 256 sq)  | 18.6 | 19.8 | 12.1 | **10.9** |
+    | s2 (1024 @ 128 sq) | 18.1 | 9.7  | 10.1 | **7.7**  |
+    | s3 (2048 @ 64 sq)  | 18.6 | **6.4** | 9.8 | 6.2-7.3 |
 
-    auto (default): dw <= 512 -> dense4, wider -> native — in-situ A/B'd
-    end-to-end via bench.py before adoption (PERF.md grouped-conv log).
-    Override with UNIRESTORE_GROUPED_CONV=dense|native|dense4|auto.
+    auto (default): dw <= 1024 (and 128-aligned) -> loop128
+    (_loop128_grouped_conv: per-128-lane dense conv slices), wider ->
+    native — in-situ A/B'd end-to-end via bench.py before adoption
+    (PERF.md grouped-conv log). Override with
+    UNIRESTORE_GROUPED_CONV=dense|native|dense4|loop128|auto (autor3
+    restores the r3 routing — dense4 narrow / native wide — for A/Bs).
     Non-TPU backends always use the native grouped lowering."""
     import os
     if jax.default_backend() not in ("tpu", "axon"):
         return L.conv2d(p, x, padding=padding, groups=GROUPS)
     mode = os.environ.get("UNIRESTORE_GROUPED_CONV", "auto")
+    dw = p["w"].shape[-1]
+    loop_ok = (dw % 128 == 0 and 0 < dw // 128 <= GROUPS
+               and GROUPS % (dw // 128) == 0)
+    if mode == "autor3":
+        mode = "dense4" if dw <= 512 else "native"
     if mode == "auto":
-        mode = "dense4" if p["w"].shape[-1] <= 512 else "native"
-    if mode == "native":
+        if dw <= 1024 and loop_ok:
+            mode = "loop128"
+        elif dw <= 512:
+            mode = "dense4"
+        else:
+            mode = "native"
+    if mode == "loop128" and loop_ok:
+        return _loop128_grouped_conv(p, x, padding)
+    if mode == "native" or mode == "loop128":
         return L.conv2d(p, x, padding=padding, groups=GROUPS)
     if mode == "dense4":
         return L.conv2d({"w": _super_block_kernel(p["w"], GROUPS, 4),
