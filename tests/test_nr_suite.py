@@ -244,6 +244,18 @@ def test_committed_nr_artifacts_enable_full_protocol(monkeypatch):
     FileNotFoundError path and PI off its constant-NRQM fallback."""
     repo_weights = os.path.join(os.path.dirname(__file__), "..", "weights")
     monkeypatch.setenv("UNIRESTORE_WEIGHTS", repo_weights)
+    # Presence on disk is not enough: r4 shipped a working tree where
+    # nrqm_model.npz existed but was silently .gitignore'd, so fresh clones
+    # lost the artifact. Assert the files are actually git-tracked.
+    import subprocess
+    repo_root = os.path.dirname(repo_weights)
+    tracked = subprocess.run(
+        ["git", "ls-files", "weights/niqe_params.npz", "weights/nrqm_model.npz"],
+        cwd=repo_root, capture_output=True, text=True)
+    if tracked.returncode == 0:  # skip the check outside a git checkout
+        names = set(tracked.stdout.split())
+        assert "weights/niqe_params.npz" in names, "niqe_params.npz not git-tracked"
+        assert "weights/nrqm_model.npz" in names, "nrqm_model.npz not git-tracked"
     suite = NRS.build_nr_suite(["niqe", "pi"])
     assert set(suite) == {"niqe", "pi"}
     assert suite["pi"].nrqm is not None, "PI fell back to constant NRQM"
