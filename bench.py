@@ -276,6 +276,9 @@ def main():
             # trip of a tiny compiled matmul (ms); healthy ~30-40 ms,
             # a degraded tunnel shows up here directly
             "preflight_matmul_ms": results.get("preflight_matmul_ms"),
+            **({"preflight_attempts": results["preflight_attempts"],
+                "preflight_elapsed_s": results["preflight_elapsed_s"]}
+               if "preflight_attempts" in results else {}),
             # compile-cache telemetry per mode: new persistent-cache files
             # created during warmup (0 = fully warm) + warmup seconds —
             # distinguishes cold-compile stalls from tunnel problems
@@ -300,17 +303,27 @@ def main():
     # down tunnel (the chip is reached through a remote-compile tunnel
     # that has measured multi-hour outages) hangs EVERY mode subprocess to
     # its full BENCH_MODE_TIMEOUT — hours of silence instead of a bounded
-    # clear failure. x2 attempts: a first compile through a merely BUSY
-    # tunnel can take minutes (CLAUDE.md) — though with the persistent
-    # cache enabled in the child, a warm preflight is ~15 s.
+    # clear failure. Retry with backoff instead of giving up after two
+    # attempts: a warm full 3-mode run needs only ~1500 s of the 3000 s
+    # budget (r4: rc 0 in 1490 s), so the preflight can ride out a
+    # transient tunnel outage for as long as enough budget remains for a
+    # full run afterwards (BENCH_PREFLIGHT_RESERVE, default 1700 s). A
+    # full-outage round then ends with an artifact recording every
+    # attempt, distinguishable from a blip.
     results = {}
     if os.environ.get("BENCH_TINY") != "1":
         pf_timeout = int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "300"))
-        for attempt in (1, 2):
+        pf_reserve = float(os.environ.get("BENCH_PREFLIGHT_RESERVE",
+                                          "1700"))
+        pf_t0 = time.perf_counter()
+        attempt, pf_ok = 0, False
+        while True:
+            attempt += 1
             try:
                 pf = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
-                    capture_output=True, text=True, timeout=pf_timeout,
+                    capture_output=True, text=True,
+                    timeout=max(60.0, min(pf_timeout, _remaining())),
                     env=dict(os.environ, BENCH_PREFLIGHT="1"))
                 ok = [ln for ln in pf.stdout.splitlines()
                       if ln.startswith("PREFLIGHT_OK")]
@@ -318,17 +331,30 @@ def main():
                     parts = ok[0].split()
                     if len(parts) > 1:
                         results["preflight_matmul_ms"] = float(parts[1])
-                    break
-                print(f"# preflight attempt {attempt} failed:\n"
-                      f"{pf.stdout[-500:]}\n{pf.stderr[-500:]}",
-                      file=sys.stderr)
+                    pf_ok = True
+                else:
+                    print(f"# preflight attempt {attempt} failed:\n"
+                          f"{pf.stdout[-500:]}\n{pf.stderr[-500:]}",
+                          file=sys.stderr)
             except subprocess.TimeoutExpired:
                 print(f"# preflight attempt {attempt} timed out "
                       f"({pf_timeout}s)", file=sys.stderr)
-        else:
-            emit({}, error="tpu unreachable (preflight matmul failed "
-                           "twice; remote-compile tunnel down?)")
-            sys.exit(1)
+            results["preflight_attempts"] = attempt
+            results["preflight_elapsed_s"] = round(
+                time.perf_counter() - pf_t0, 1)
+            if pf_ok:
+                break
+            # keep retrying while a full 3-mode run still fits in the
+            # remaining budget; short backoff so a multi-minute blip
+            # costs one extra attempt, not the round
+            if _remaining() <= pf_reserve:
+                emit(results,
+                     error="tpu unreachable (preflight matmul failed "
+                           f"{attempt}x over "
+                           f"{results['preflight_elapsed_s']}s; "
+                           "remote-compile tunnel down?)")
+                sys.exit(1)
+            time.sleep(min(60.0, 10.0 * attempt))
     # per-run exact-output path: a stale file from an earlier run must
     # never become the quality-gate target when mode "none" fails (and
     # two concurrent bench invocations must not clobber each other)

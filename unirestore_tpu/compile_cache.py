@@ -36,6 +36,18 @@ def enable_compile_cache() -> str | None:
         # preflight matmul, whose cold path has measured > 300 s on a
         # degraded tunnel (2026-08-20) against a 300 s preflight timeout
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # bound growth: with min_compile_time 0 every module is cached, so
+        # the shared dir accretes across bench/train/eval runs; 4 GiB LRU
+        # eviction keeps it far above one full pipeline's working set
+        # (~hundreds of MB) while preventing unbounded /tmp growth
+        try:
+            jax.config.update("jax_persistent_cache_max_size",
+                              4 * 1024 ** 3)
+            jax.config.update(
+                "jax_persistent_cache_eviction_policy",
+                "lru")
+        except Exception:
+            pass  # older jax without eviction support: cache still works
     except Exception:
         return None
     return d

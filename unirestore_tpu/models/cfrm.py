@@ -106,10 +106,14 @@ def _grouped_conv3(p, x, padding: int):
     | s2 (1024 @ 128 sq) | 18.1 | 9.7  | 10.1 | **7.7**  |
     | s3 (2048 @ 64 sq)  | 18.6 | **6.4** | 9.8 | 6.2-7.3 |
 
-    auto (default): dw <= 1024 (and 128-aligned) -> loop128
-    (_loop128_grouped_conv: per-128-lane dense conv slices), wider ->
-    native — in-situ A/B'd end-to-end via bench.py before adoption
-    (PERF.md grouped-conv log). Override with
+    auto (default): 512 <= dw <= 1024 (and 128-aligned, square) ->
+    loop128 (_loop128_grouped_conv: per-128-lane dense conv slices),
+    wider -> native, narrower -> the r3 routing (dense4). The dw >= 512
+    gate keeps loop128 off unmeasured narrow widths where its
+    supergroup-dense slices degenerate toward the full 16x-FLOPs dense
+    conv (dw=128 -> sg=1). Microbench deltas above; the end-to-end
+    in-situ A/B vs autor3 is recorded in PERF.md's grouped-conv log
+    (pending capture if not yet listed). Override with
     UNIRESTORE_GROUPED_CONV=dense|native|dense4|loop128|auto (autor3
     restores the r3 routing — dense4 narrow / native wide — for A/Bs).
     Non-TPU backends always use the native grouped lowering."""
@@ -118,12 +122,17 @@ def _grouped_conv3(p, x, padding: int):
         return L.conv2d(p, x, padding=padding, groups=GROUPS)
     mode = os.environ.get("UNIRESTORE_GROUPED_CONV", "auto")
     dw = p["w"].shape[-1]
+    # loop128 assumes a square grouped conv (cin == cout == dw) whose
+    # input actually has dw channels; a mismatched conv must fall
+    # through to the native lowering rather than slice wrong channels
     loop_ok = (dw % 128 == 0 and 0 < dw // 128 <= GROUPS
-               and GROUPS % (dw // 128) == 0)
+               and GROUPS % (dw // 128) == 0
+               and p["w"].shape[2] * GROUPS == dw
+               and x.shape[-1] == dw)
     if mode == "autor3":
         mode = "dense4" if dw <= 512 else "native"
     if mode == "auto":
-        if dw <= 1024 and loop_ok:
+        if 512 <= dw <= 1024 and loop_ok:
             mode = "loop128"
         elif dw <= 512:
             mode = "dense4"
