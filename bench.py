@@ -190,6 +190,11 @@ def _psnr_vs_exact(out: np.ndarray, exact_path: str) -> float | None:
 
 def main():
     if os.environ.get("BENCH_PREFLIGHT") == "1":  # child: chip probe
+        if os.environ.get("BENCH_PREFLIGHT_FAIL") == "1":
+            # fault injection for tests: exercise the parent's retry /
+            # give-up path without needing an actually-down tunnel
+            print("PREFLIGHT_FAIL (injected)")
+            sys.exit(1)
         # persistent cache ON even for this tiny module: the remote
         # compile RPC alone has been measured at 3+ minutes on a busy
         # tunnel, so a cached preflight is the difference between a 15 s
@@ -323,7 +328,8 @@ def main():
                 pf = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     capture_output=True, text=True,
-                    timeout=max(60.0, min(pf_timeout, _remaining())),
+                    timeout=max(min(60.0, pf_timeout),
+                                min(pf_timeout, _remaining())),
                     env=dict(os.environ, BENCH_PREFLIGHT="1"))
                 ok = [ln for ln in pf.stdout.splitlines()
                       if ln.startswith("PREFLIGHT_OK")]
