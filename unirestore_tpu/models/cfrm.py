@@ -111,9 +111,10 @@ def _grouped_conv3(p, x, padding: int):
     wider -> native, narrower -> the r3 routing (dense4). The dw >= 512
     gate keeps loop128 off unmeasured narrow widths where its
     supergroup-dense slices degenerate toward the full 16x-FLOPs dense
-    conv (dw=128 -> sg=1). Microbench deltas above; the end-to-end
-    in-situ A/B vs autor3 is recorded in PERF.md's grouped-conv log
-    (pending capture if not yet listed). Override with
+    conv (dw=128 -> sg=1). Microbench deltas above; the 2026-08-20
+    end-to-end in-situ A/B vs autor3 (PERF.md grouped-conv log) is a
+    wash (<1%, opposite signs per mode) — loop128 stays default on the
+    headline-mode result (deep 8.161 vs 8.096). Override with
     UNIRESTORE_GROUPED_CONV=dense|native|dense4|loop128|auto (autor3
     restores the r3 routing — dense4 narrow / native wide — for A/Bs).
     Non-TPU backends always use the native grouped lowering."""

@@ -113,9 +113,12 @@ def _use_btc_fused_out(c_out: int) -> bool:
     (per-head outputs accumulate in a VMEM scratch; one MXU matmul emits
     the projected block, so the attention output never round-trips HBM
     and the separate out-proj op — pinned at its 69% pad-to-tile cap —
-    disappears from the schedule). Targets the roofline's ~2 ms/step
-    linear-slack bucket. Opt-in (UNIRESTORE_FUSED_OUT_ATTN=1) until the
-    in-situ A/B on the chip decides the default."""
+    disappears from the schedule). Targeted the roofline's ~2 ms/step
+    linear-slack bucket; the 2026-08-20 in-situ A/B measured it NEGATIVE
+    end-to-end (exact 5.743 vs 5.889 img/s, -2.5% — the epilogue matmul
+    serializes against the softmax/AV pipeline; PERF.md attention log),
+    so it stays opt-in-off (UNIRESTORE_FUSED_OUT_ATTN=1), kept as the
+    recorded experiment + kernel infrastructure."""
     import os
     if os.environ.get("UNIRESTORE_FUSED_OUT_ATTN") != "1":
         return False
