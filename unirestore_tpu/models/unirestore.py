@@ -200,6 +200,13 @@ def ddim_denoise(frozen, trainable, cfg, sched, zt, z0_lq,
     followers inside a single scan body, so caches live in registers/VMEM
     across the group rather than in the scan carry); a trailing remainder
     of fewer than ``cache_stride`` steps runs as full steps.
+
+    Cost note: full-UNet evals per restore = warmup + n_groups +
+    remainder, so they are minimized when ``stride`` divides
+    ``n - warmup`` exactly. At n=20 the measured Pareto knee is
+    (stride 17, warmup 3) — one cached group covering every step after
+    warmup, 4 full evals, 51.6 dB vs exact (PERF.md "Cached-mode
+    quality"); (5, 2) pays 8 full evals for the same gate.
     """
     n = num_inference_steps or cfg.num_inference_steps
     mode = cache_mode if cache_mode is not None else cfg.cache_mode
