@@ -34,7 +34,8 @@ def server():
          "--tiny", "--platform", "cpu", "--port", str(port),
          "--steps", "2", "--tasks", "ir,cls"],
         cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True, env=dict(os.environ, JAX_PLATFORMS=""))
+        text=True, env={k: v for k, v in dict(os.environ, JAX_PLATFORMS="").items()
+                if k != "XLA_FLAGS"})
     url = f"http://127.0.0.1:{port}"
     deadline = time.time() + 300
     while time.time() < deadline:

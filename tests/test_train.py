@@ -438,6 +438,11 @@ def test_predict_cli_writes_outputs(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     smoke = tmp_path / "smoke"
     env = dict(os.environ, JAX_PLATFORMS="")
+    # hermetic vs the caller's harness: an inherited
+    # --xla_force_host_platform_device_count would give the child an
+    # 8-device mesh against a tiny smoke batch (conftest sets device
+    # count for in-process tests; children must configure their own)
+    env.pop("XLA_FLAGS", None)
     subprocess.run([sys.executable,
                     os.path.join(root, "tools", "make_smoke_data.py"),
                     str(smoke)], check=True, cwd=root, env=env)
@@ -465,6 +470,11 @@ def test_fit_resume_from_last_checkpoint(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     smoke = tmp_path / "smoke"
     env = dict(os.environ, JAX_PLATFORMS="")
+    # hermetic vs the caller's harness: an inherited
+    # --xla_force_host_platform_device_count would give the child an
+    # 8-device mesh against a tiny smoke batch (conftest sets device
+    # count for in-process tests; children must configure their own)
+    env.pop("XLA_FLAGS", None)
     subprocess.run([sys.executable,
                     os.path.join(root, "tools", "make_smoke_data.py"),
                     str(smoke)], check=True, cwd=root, env=env)
@@ -500,6 +510,11 @@ def test_fit_stop_after_cache_warm(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     smoke = tmp_path / "smoke"
     env = dict(os.environ, JAX_PLATFORMS="")
+    # hermetic vs the caller's harness: an inherited
+    # --xla_force_host_platform_device_count would give the child an
+    # 8-device mesh against a tiny smoke batch (conftest sets device
+    # count for in-process tests; children must configure their own)
+    env.pop("XLA_FLAGS", None)
     subprocess.run([sys.executable,
                     os.path.join(root, "tools", "make_smoke_data.py"),
                     str(smoke)], check=True, cwd=root, env=env)
