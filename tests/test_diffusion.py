@@ -180,6 +180,25 @@ def test_ddim_deep_cache_runs_and_bounded():
         UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
                         num_inference_steps=6, cache_mode="deep",
                         cache_stride=3, cache_warmup=-1)
+    # remainder-runs-full semantics (what the (stride 17, warmup 3)
+    # headline schedule relies on — PERF.md "Knee"): a stride larger
+    # than n - warmup leaves zero groups, so EVERY step runs full and
+    # the output is bit-comparable to the exact loop
+    all_tail = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                               num_inference_steps=6, cache_mode="deep",
+                               cache_stride=5, cache_warmup=2)
+    np.testing.assert_allclose(np.asarray(all_tail), np.asarray(full),
+                               atol=1e-6)
+    # the headline shape: one cached group exactly covering n - warmup
+    # (no remainder) runs and stays bounded
+    one_group = UR.ddim_denoise(frozen, trainable, cfg, sched, zt, z0,
+                                num_inference_steps=6, cache_mode="deep",
+                                cache_stride=4, cache_warmup=2)
+    assert one_group.shape == full.shape
+    a = np.asarray(full, np.float64)
+    g = np.asarray(one_group, np.float64)
+    assert np.isfinite(g).all()
+    assert np.linalg.norm(a - g) / max(np.linalg.norm(a), 1e-9) < 0.5
 
 
 def test_ddim_encoder_propagation_runs_and_bounded():
