@@ -44,6 +44,10 @@ def _parse():
     ap.add_argument("--warmups", default="0",
                     help="comma list of cache_warmup values (first N steps "
                          "exact) to sweep per stride")
+    ap.add_argument("--modes", default="encoder,deep",
+                    help="comma list of cache modes to sweep (e.g. 'deep' "
+                         "alone skips the encoder compiles — each config is "
+                         "a separate full-pipeline XLA module)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (CPU smoke; structural numbers only)")
@@ -121,7 +125,7 @@ def main():
 
     specs = ["exact"] + [
         f"{mode}:{stride}:{warmup}"
-        for mode in ("encoder", "deep")
+        for mode in args.modes.split(",")
         for stride in args.strides.split(",")
         for warmup in args.warmups.split(",")]
 
