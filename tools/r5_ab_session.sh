@@ -7,8 +7,9 @@
 #   leg A: default routing   (grouped-conv auto -> loop128 s1/s2)
 #   leg B: UNIRESTORE_GROUPED_CONV=autor3 (r3 routing: dense4/native)
 #   leg C: UNIRESTORE_FUSED_OUT_ATTN=1   (out-proj-fused btc kernel)
-# plus a deep-mode (headline) leg A' with default routing so the turbo
-# number for current code is also on record.
+# plus deep-mode (headline) legs at the CURRENT default turbo knobs
+# (BENCH_TURBO_STRIDE/WARMUP - (5,2) when this was first run on
+# 2026-08-20; (17,3) since) so the turbo number is also on record.
 #
 # Appends one line per leg to $OUT (default /tmp/r5_ab.jsonl). Each leg
 # is bounded; a dead tunnel fails a leg in <= $LEG_TIMEOUT s.
