@@ -132,7 +132,11 @@ def _cache_file_count() -> int:
     cold compile' from 'tunnel down' in the emitted artifact."""
     from unirestore_tpu.compile_cache import cache_dir
     try:
-        return len(os.listdir(cache_dir()))
+        # jax's LRU eviction (jax_compilation_cache_max_size) writes
+        # 8-byte "-atime" sidecars on every cache HIT — count only real
+        # module entries or a fully-warm run reports phantom misses
+        return sum(1 for f in os.listdir(cache_dir())
+                   if not f.endswith("-atime") and f != ".lockfile")
     except OSError:
         return 0
 

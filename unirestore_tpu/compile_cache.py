@@ -37,15 +37,17 @@ def enable_compile_cache() -> str | None:
         # degraded tunnel (2026-08-20) against a 300 s preflight timeout
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         # bound growth: with min_compile_time 0 every module is cached, so
-        # the shared dir accretes across bench/train/eval runs; 4 GiB LRU
-        # eviction keeps it far above one full pipeline's working set
-        # (~hundreds of MB) while preventing unbounded /tmp growth
+        # the shared dir accretes across bench/train/eval runs (measured
+        # 5.2 GiB after one heavy session). jax's built-in LRU eviction
+        # kicks in above jax_compilation_cache_max_size; 16 GiB sits far
+        # above a session's working set, so warm production modules are
+        # never evicted mid-round while /tmp growth stays bounded. (The
+        # name is jax_compilation_cache_max_size — an earlier revision
+        # passed a nonexistent jax_persistent_cache_max_size, which this
+        # try/except silently no-op'd.)
         try:
-            jax.config.update("jax_persistent_cache_max_size",
-                              4 * 1024 ** 3)
-            jax.config.update(
-                "jax_persistent_cache_eviction_policy",
-                "lru")
+            jax.config.update("jax_compilation_cache_max_size",
+                              16 * 1024 ** 3)
         except Exception:
             pass  # older jax without eviction support: cache still works
     except Exception:
